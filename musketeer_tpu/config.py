@@ -1,0 +1,237 @@
+"""Typed configuration tree for musketeer_tpu.
+
+Replaces the reference's hydra/argparse/arch-preset-mutation stack
+(ref: tasks/ofa_task.py:29-84, models/ofa/ofa.py:370-487,
+models/ofa/unify_transformer.py:149-334) with plain frozen dataclasses.
+Presets are data, not arg-mutating functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """OFA unified transformer hyperparameters.
+
+    Defaults are the shared ``ofa_large_architecture`` settings
+    (ref: models/ofa/ofa.py:370-440); use the ``ofa_*`` presets below.
+    """
+
+    # transformer dims
+    embed_dim: int = 1024
+    ffn_dim: int = 4096
+    encoder_layers: int = 12
+    decoder_layers: int = 12
+    attention_heads: int = 16
+    # vocab (fixed by the OFA dictionary; see tokenization.dictionary)
+    vocab_size: int = 59457
+    padded_vocab_size: int = 59520  # 128-multiple embedding rows; extra ids masked
+    bos: int = 0
+    pad: int = 1
+    eos: int = 2
+    unk: int = 3
+    code_dict_size: int = 8192
+    num_bins: int = 1000
+    # positions
+    max_source_positions: int = 1024
+    max_target_positions: int = 1024
+    token_bucket_size: int = 256  # ref: ofa.py:418
+    image_bucket_size: int = 42  # ref: ofa.py:419
+    # attention extras
+    attn_scale_factor: float = 2.0  # ref: ofa.py:424; scaling (hd*sf)^-0.5
+    scale_attn: bool = False
+    scale_fc: bool = False
+    scale_heads: bool = False
+    scale_resids: bool = False
+    # embeddings
+    add_type_embedding: bool = True
+    layernorm_embedding: bool = True
+    patch_layernorm_embedding: bool = True
+    code_layernorm_embedding: bool = True
+    entangle_position_embedding: bool = False  # encoder: pos only via bias
+    # NOTE ref quirk: decoder *always* adds tgt pos embed because
+    # `if self.entangle_position_embedding is not None` (unify_transformer.py:1486)
+    # is truthy for bool False. We reproduce that behavior explicitly:
+    decoder_entangle_positions: bool = True
+    # image branch
+    resnet_layers: Tuple[int, int, int] = (3, 8, 36)  # resnet152
+    resnet_drop_path_rate: float = 0.0
+    freeze_resnet: bool = False  # frozen batch-norm stats (eval-parity default path)
+    patch_image_size: int = 480
+    orig_patch_image_size: int = 256
+    interpolate_position: bool = False
+    code_image_size: int = 128  # decoder image window = //8 = 16
+    # regularization
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    encoder_drop_path_rate: float = 0.0
+    decoder_drop_path_rate: float = 0.0
+    activation_fn: str = "gelu"
+    # compute
+    dtype: str = "bfloat16"  # activation dtype under jit
+    remat: bool = False  # jax.checkpoint each layer
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.attention_heads
+
+    @property
+    def token_num_rel_dis(self) -> int:
+        return 2 * self.token_bucket_size - 1
+
+    @property
+    def image_num_rel_dis(self) -> int:
+        b = self.image_bucket_size
+        return (2 * b - 1) * (2 * b - 1) + 3
+
+    @property
+    def decoder_image_window(self) -> int:
+        return self.code_image_size // 8
+
+
+def ofa_tiny() -> ModelConfig:
+    return replace(
+        ModelConfig(),
+        embed_dim=256, ffn_dim=1024, encoder_layers=4, decoder_layers=4,
+        attention_heads=4, resnet_layers=(3, 4, 6),
+    )
+
+
+def ofa_medium() -> ModelConfig:
+    return replace(
+        ModelConfig(),
+        embed_dim=512, ffn_dim=2048, encoder_layers=4, decoder_layers=4,
+        attention_heads=8, resnet_layers=(3, 4, 23),
+    )
+
+
+def ofa_base() -> ModelConfig:
+    return replace(
+        ModelConfig(),
+        embed_dim=768, ffn_dim=3072, encoder_layers=6, decoder_layers=6,
+        attention_heads=12, resnet_layers=(3, 4, 23),
+    )
+
+
+def ofa_large() -> ModelConfig:
+    return ModelConfig()
+
+
+def ofa_huge() -> ModelConfig:
+    return replace(
+        ModelConfig(),
+        embed_dim=1280, ffn_dim=5120, encoder_layers=24, decoder_layers=12,
+        attention_heads=16, resnet_layers=(3, 8, 36),
+    )
+
+
+ARCH_PRESETS = {
+    "ofa_tiny": ofa_tiny,
+    "ofa_medium": ofa_medium,
+    "ofa_base": ofa_base,
+    "ofa_large": ofa_large,
+    "ofa_huge": ofa_huge,
+}
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Beam-search / sampling settings (ref: models/sequence_generator.py:19-120)."""
+
+    beam_size: int = 5
+    max_len_a: float = 0.0
+    max_len_b: int = 200
+    min_len: int = 1
+    normalize_scores: bool = True
+    len_penalty: float = 1.0
+    unk_penalty: float = 0.0
+    temperature: float = 1.0
+    no_repeat_ngram_size: int = 0
+    # constrained decoding
+    constraint_range: Optional[Tuple[int, int]] = None  # vocab band [start, end)
+    gen_box: bool = False  # force <bin_k> tokens 4-of-5 steps (refcoco)
+    gen_code: bool = False  # image-code generation (code_masks on)
+    zero_shot: bool = False  # post-softmax trie masking variant
+    sampling: bool = False
+    sampling_topk: int = -1
+    sampling_topp: float = -1.0
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Adam + polynomial decay (ref run scripts: run_scripts/musketeer/train_musketeer.sh)."""
+
+    lr: float = 1e-4
+    end_lr: float = 0.0
+    warmup_updates: int = 1000
+    total_updates: int = 30000
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.01
+    clip_norm: float = 1.0
+    power: float = 1.0  # polynomial decay power
+
+
+@dataclass(frozen=True)
+class CriterionConfig:
+    """Label-smoothed CE options (ref: criterions/label_smoothed_cross_entropy.py)."""
+
+    label_smoothing: float = 0.1
+    ignore_prefix_size: int = 0
+    ignore_eos: bool = False
+    report_accuracy: bool = False
+    drop_worst_ratio: float = 0.0
+    drop_worst_after: int = 0
+    use_rdrop: bool = False
+    reg_alpha: float = 1.0
+    sample_patch_num: int = 196
+    constraint_start: Optional[int] = None
+    constraint_end: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data × fsdp × model (tensor) axes."""
+
+    data: int = -1  # -1: all remaining devices
+    fsdp: int = 1
+    model: int = 1
+
+    def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
+        d, f, m = self.data, self.fsdp, self.model
+        if d == -1:
+            d = n_devices // (f * m)
+        assert d * f * m == n_devices, (
+            f"mesh {d}x{f}x{m} != {n_devices} devices"
+        )
+        return d, f, m
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    arch: str = "ofa_base"
+    batch_size: int = 8  # per-step global batch (already accumulated shape)
+    update_freq: int = 1  # gradient accumulation microbatches
+    seed: int = 7
+    bf16: bool = True
+    ema_decay: float = 0.0  # 0 disables EMA
+    save_interval_updates: int = 0
+    keep_best_checkpoints: int = -1
+    best_checkpoint_metric: str = "score"
+    maximize_best_checkpoint_metric: bool = True
+    patience: int = -1
+    max_epoch: int = 0
+    max_update: int = 0
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    criterion: CriterionConfig = field(default_factory=CriterionConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,894 @@
+"""OFA unified encoder-decoder transformer — functional JAX core.
+
+TPU-first re-design of the reference model (ref: models/ofa/unify_transformer.py,
+models/ofa/ofa.py, models/ofa/unify_multihead_attention.py):
+
+- pure functions over an explicit parameter pytree (no module soup); the whole
+  train/infer step jits into one XLA program,
+- batch-major [B, T, C] activations (the reference is T-major),
+- layers stored stacked ([L, ...] leaves) and driven by ``lax.scan`` — fast
+  compiles, scan-friendly remat, and clean FSDP sharding of the leading axis,
+- attention additive-bias machinery (abs-pos q·k bias + per-layer relative
+  bucket biases) computed once per forward in fp32 and consumed tile-wise by
+  the attention op,
+- incremental decoding via a preallocated KV cache updated with
+  ``lax.dynamic_update_slice`` (static shapes for XLA).
+
+Numerics notes (must match the reference for checkpoint parity):
+- attention scaling is ``(head_dim * attn_scale_factor) ** -0.5`` with
+  scale_factor=2 (ref: unify_multihead_attention.py:58, ofa.py:424),
+- gelu is the exact erf form (torch F.gelu),
+- the encoder does NOT add positional embeddings to token embeddings
+  (entangle_position_embedding=False); the decoder ALWAYS does, due to a
+  truthiness quirk in the reference (`if self.entangle_position_embedding is
+  not None` at unify_transformer.py:1486) that became load-bearing,
+- padded encoder embeddings are zeroed before layer 0 (unify_transformer.py:894).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from . import positions as pos_lib
+from .resnet import init_resnet, resnet_forward
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e9  # large-negative for masking (bf16-safe)
+
+
+# ---------------------------------------------------------------------------
+# small functional pieces
+# ---------------------------------------------------------------------------
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def _layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _dropout(x, rate, rng, deterministic):
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, din, dout, gain: float = 1.0) -> Params:
+    # xavier uniform (fairseq Linear default)
+    bound = gain * np.sqrt(6.0 / (din + dout))
+    w = jax.random.uniform(key, (din, dout), jnp.float32, -bound, bound)
+    return {"w": w, "b": jnp.zeros((dout,), jnp.float32)}
+
+
+def _init_ln(d) -> Params:
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def _init_embed(key, n, d, std: float | None = None) -> jnp.ndarray:
+    std = std if std is not None else d ** -0.5
+    return jax.random.normal(key, (n, d), jnp.float32) * std
+
+
+def _init_attention(key, cfg: ModelConfig) -> Params:
+    d = cfg.embed_dim
+    ks = jax.random.split(key, 4)
+    gain = 1.0 / np.sqrt(2.0)  # fairseq qkv_same_dim init
+    p = {
+        "q_proj": _init_linear(ks[0], d, d, gain),
+        "k_proj": _init_linear(ks[1], d, d, gain),
+        "v_proj": _init_linear(ks[2], d, d, gain),
+        "out_proj": _init_linear(ks[3], d, d),
+    }
+    if cfg.scale_heads:
+        p["c_attn"] = jnp.ones((cfg.attention_heads,), jnp.float32)
+    return p
+
+
+def _init_enc_layer(key, cfg: ModelConfig) -> Params:
+    d, f = cfg.embed_dim, cfg.ffn_dim
+    ks = jax.random.split(key, 3)
+    p = {
+        "self_attn": _init_attention(ks[0], cfg),
+        "self_attn_layer_norm": _init_ln(d),
+        "fc1": _init_linear(ks[1], d, f),
+        "fc2": _init_linear(ks[2], f, d),
+        "final_layer_norm": _init_ln(d),
+    }
+    if cfg.scale_attn:
+        p["attn_ln"] = _init_ln(d)
+    if cfg.scale_fc:
+        p["ffn_layernorm"] = _init_ln(f)
+    if cfg.scale_resids:
+        p["w_resid"] = jnp.ones((d,), jnp.float32)
+    return p
+
+
+def _init_dec_layer(key, cfg: ModelConfig) -> Params:
+    ks = jax.random.split(key, 2)
+    p = _init_enc_layer(ks[0], cfg)
+    p["encoder_attn"] = _init_attention(ks[1], cfg)
+    p["encoder_attn_layer_norm"] = _init_ln(cfg.embed_dim)
+    if cfg.scale_attn:
+        p["self_attn_ln"] = p.pop("attn_ln")
+        p["cross_attn_ln"] = _init_ln(cfg.embed_dim)
+    return p
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def init_ofa_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Build the full parameter pytree for the OFA model."""
+    keys = jax.random.split(key, 16)
+    d = cfg.embed_dim
+    V = cfg.padded_vocab_size
+    params: Params = {
+        # shared token embedding (encoder input / decoder input / output proj)
+        "embed_tokens": _init_embed(keys[0], V, d),
+        "encoder": {
+            "layernorm_embedding": _init_ln(d),
+            "patch_layernorm_embedding": _init_ln(d),
+            "type_embedding": _init_embed(keys[1], 2, d),
+            "embed_positions": _init_embed(keys[2], cfg.max_source_positions + 2, d),
+            "embed_image_positions": _init_embed(
+                keys[3], cfg.image_bucket_size**2 + 1, d
+            ),
+            "pos_ln": _init_ln(d),
+            "image_pos_ln": _init_ln(d),
+            "pos_q_linear": _init_linear(keys[4], d, d),
+            "pos_k_linear": _init_linear(keys[5], d, d),
+            "image_proj": _init_linear(keys[6], 1024, d),
+            "resnet": init_resnet(keys[7], cfg.resnet_layers),
+            "layers": _stack(
+                [
+                    _init_enc_layer(k, cfg)
+                    for k in jax.random.split(keys[8], cfg.encoder_layers)
+                ]
+            ),
+            "layer_norm": _init_ln(d),
+            # zero-init rel-pos tables (ref: Embedding(..., zero_init=True))
+            "token_rel_pos_table": jnp.zeros(
+                (cfg.encoder_layers, cfg.token_num_rel_dis, cfg.attention_heads),
+                jnp.float32,
+            ),
+            "image_rel_pos_table": jnp.zeros(
+                (cfg.encoder_layers, cfg.image_num_rel_dis, cfg.attention_heads),
+                jnp.float32,
+            ),
+        },
+        "decoder": {
+            "layernorm_embedding": _init_ln(d),
+            "code_layernorm_embedding": _init_ln(d),
+            "embed_positions": _init_embed(keys[9], cfg.max_target_positions + 2, d),
+            "embed_image_positions": _init_embed(
+                keys[10], cfg.image_bucket_size**2 + 1, d
+            ),
+            "pos_ln": _init_ln(d),
+            "image_pos_ln": _init_ln(d),
+            "self_pos_q_linear": _init_linear(keys[11], d, d),
+            "self_pos_k_linear": _init_linear(keys[12], d, d),
+            "cross_pos_q_linear": _init_linear(keys[13], d, d),
+            "cross_pos_k_linear": _init_linear(keys[14], d, d),
+            "layers": _stack(
+                [
+                    _init_dec_layer(k, cfg)
+                    for k in jax.random.split(keys[15], cfg.decoder_layers)
+                ]
+            ),
+            "layer_norm": _init_ln(d),
+            "token_rel_pos_table": jnp.zeros(
+                (cfg.decoder_layers, cfg.token_num_rel_dis, cfg.attention_heads),
+                jnp.float32,
+            ),
+            "image_rel_pos_table": jnp.zeros(
+                (cfg.decoder_layers, cfg.image_num_rel_dis, cfg.attention_heads),
+                jnp.float32,
+            ),
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, heads, d // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def attention(
+    p: Params,
+    cfg: ModelConfig,
+    query: jnp.ndarray,  # [B, Tq, d]
+    key: jnp.ndarray,  # [B, Tk, d]
+    value: jnp.ndarray,
+    bias: Optional[jnp.ndarray],  # [B, H, Tq, Tk] fp32 additive (abs+rel pos)
+    key_padding_mask: Optional[jnp.ndarray],  # [B, Tk] bool, True = pad
+    causal_offset: Optional[int] = None,  # int: causal with q starting at offset
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Multi-head attention with additive positional bias.
+
+    ref: unify_multihead_attention.py:200-420. Scaling (hd*scale_factor)^-0.5,
+    bias added pre-softmax in fp32, softmax in fp32.
+    """
+    H = cfg.attention_heads
+    scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
+    q = _split_heads(_linear(p["q_proj"], query) * scaling, H)
+    k = _split_heads(_linear(p["k_proj"], key), H)
+    v = _split_heads(_linear(p["v_proj"], value), H)
+
+    w = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        w = w + bias.astype(jnp.float32)
+    if causal_offset is not None:
+        tq, tk = w.shape[-2], w.shape[-1]
+        qpos = jnp.arange(tq) + causal_offset
+        kpos = jnp.arange(tk)
+        w = jnp.where(kpos[None, :] > qpos[:, None], NEG_INF, w)
+    if key_padding_mask is not None:
+        w = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, w)
+
+    probs = jax.nn.softmax(w, axis=-1)
+    # rows where everything is masked (padded queries) produce NaN; zero them
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    probs = _dropout(probs, dropout_rate, rng, deterministic).astype(value.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = _merge_heads(out)
+    if "c_attn" in p:
+        b, t, _ = out.shape
+        out = (
+            out.reshape(b, t, H, cfg.head_dim) * p["c_attn"].astype(out.dtype)[None, None, :, None]
+        ).reshape(b, t, -1)
+    return _linear(p["out_proj"], out)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+class EncoderOut(NamedTuple):
+    x: jnp.ndarray  # [B, S, d] final hidden states
+    padding_mask: jnp.ndarray  # [B, S] bool, True = pad
+    pos_embed: jnp.ndarray  # [B, S, d] LN'd positional embeddings (for cross bias)
+
+
+def _abs_pos_bias(q_lin, k_lin, pos_embed, cfg: ModelConfig) -> jnp.ndarray:
+    """(pos_q * scaling) @ pos_kᵀ per head → [B, H, T, T] fp32.
+
+    ref: unify_transformer.py:906-912 / 1297-1318.
+    """
+    B, T, d = pos_embed.shape
+    H = cfg.attention_heads
+    scaling = float(cfg.embed_dim / H * cfg.attn_scale_factor) ** -0.5
+    pe = pos_embed.astype(jnp.float32)
+    pos_q = (pe @ q_lin["w"] + q_lin["b"]).reshape(B, T, H, -1).transpose(0, 2, 1, 3)
+    pos_q = pos_q * scaling
+    pos_k = (pe @ k_lin["w"] + k_lin["b"]).reshape(B, T, H, -1).transpose(0, 2, 1, 3)
+    return jnp.einsum("bhqd,bhkd->bhqk", pos_q, pos_k)
+
+
+def _encoder_layer(
+    p: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,
+    bias: jnp.ndarray,
+    padding_mask: jnp.ndarray,
+    rngs=None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Pre-LN encoder block (ref: unify_transformer_layer.py:110-293)."""
+    def dr(i):
+        return None if rngs is None else jax.random.fold_in(rngs, i)
+
+    residual = x
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    h = attention(
+        p["self_attn"], cfg, h, h, h, bias, padding_mask,
+        dropout_rate=cfg.attention_dropout, rng=dr(0), deterministic=deterministic,
+    )
+    if "attn_ln" in p:
+        h = _layer_norm(p["attn_ln"], h)
+    h = _dropout(h, cfg.dropout, dr(1), deterministic)
+    x = residual + h
+
+    residual = x
+    h = _layer_norm(p["final_layer_norm"], x)
+    h = _gelu(_linear(p["fc1"], h))
+    h = _dropout(h, cfg.activation_dropout, dr(2), deterministic)
+    if "ffn_layernorm" in p:
+        h = _layer_norm(p["ffn_layernorm"], h)
+    h = _linear(p["fc2"], h)
+    h = _dropout(h, cfg.dropout, dr(3), deterministic)
+    if "w_resid" in p:
+        residual = residual * p["w_resid"].astype(residual.dtype)
+    return residual + h
+
+
+def encode(
+    params: Params,
+    cfg: ModelConfig,
+    src_tokens: jnp.ndarray,  # [B, T] int32
+    patch_images: Optional[jnp.ndarray] = None,  # [B, Himg, Wimg, 3]
+    patch_masks: Optional[jnp.ndarray] = None,  # [B] bool, False = no image
+    sample_patch_order: Optional[jnp.ndarray] = None,  # [B, P] int32 subsample idx
+    rngs: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    train_bn: bool = False,
+) -> EncoderOut:
+    """Joint image+text encoder forward (ref: unify_transformer.py:819-966)."""
+    enc = params["encoder"]
+    B, T = src_tokens.shape
+    dtype = jnp.dtype(cfg.dtype)
+    embed_tokens = params["embed_tokens"].astype(dtype)
+
+    # ---- text branch
+    x_text = embed_tokens[src_tokens]
+    x_text = x_text + enc["type_embedding"].astype(dtype)[0]
+    x_text = _layer_norm(enc["layernorm_embedding"], x_text)
+    x_text = _dropout(x_text, cfg.dropout, rngs, deterministic)
+    text_pad = src_tokens == cfg.pad
+
+    pos_embed = jnp.broadcast_to(
+        enc["embed_positions"][jnp.arange(T)][None], (B, T, cfg.embed_dim)
+    )
+
+    if patch_images is not None:
+        # ---- image branch
+        feats = resnet_forward(enc["resnet"], patch_images.astype(dtype), train=train_bn)
+        Bi, h, w, _ = feats.shape
+        image_embed = feats.reshape(Bi, h * w, -1)
+        image_pos_ids = jnp.asarray(
+            pos_lib.encoder_image_position_ids(h, w, cfg.image_bucket_size)
+        )
+        image_pos_ids = jnp.broadcast_to(image_pos_ids[None], (B, h * w))
+        if sample_patch_order is not None:
+            # training-time patch subsampling (ref: unify_transformer.py:671-682)
+            image_embed = jnp.take_along_axis(
+                image_embed, sample_patch_order[:, :, None], axis=1
+            )
+            image_pos_ids = jnp.take_along_axis(image_pos_ids, sample_patch_order, axis=1)
+        N = image_embed.shape[1]
+        image_pos_embed = enc["embed_image_positions"][image_pos_ids]
+
+        x_img = _linear(enc["image_proj"], image_embed)
+        x_img = x_img + enc["type_embedding"].astype(dtype)[1]
+        x_img = _layer_norm(enc["patch_layernorm_embedding"], x_img)
+        x_img = _dropout(x_img, cfg.dropout, rngs, deterministic)
+        if patch_masks is None:
+            image_pad = jnp.zeros((B, N), bool)
+        else:
+            image_pad = jnp.broadcast_to(~patch_masks[:, None], (B, N))
+
+        x = jnp.concatenate([x_img, x_text], axis=1)
+        padding_mask = jnp.concatenate([image_pad, text_pad], axis=1)
+        pos_for_bias = jnp.concatenate(
+            [
+                _layer_norm(enc["image_pos_ln"], image_pos_embed.astype(dtype)),
+                _layer_norm(enc["pos_ln"], pos_embed.astype(dtype)),
+            ],
+            axis=1,
+        )
+    else:
+        N = 0
+        image_pos_ids = None
+        x = x_text
+        padding_mask = text_pad
+        pos_for_bias = _layer_norm(enc["pos_ln"], pos_embed.astype(dtype))
+
+    # zero out padded embeddings (ref: unify_transformer.py:894)
+    x = x * (1.0 - padding_mask[:, :, None].astype(x.dtype))
+
+    # ---- attention biases
+    abs_bias = _abs_pos_bias(enc["pos_q_linear"], enc["pos_k_linear"], pos_for_bias, cfg)
+    S = x.shape[1]
+
+    # text rel bias indices [T, T]; image rel bias indices [B, N, N]
+    token_rp = jnp.asarray(
+        pos_lib.make_token_bucket_position(cfg.token_bucket_size, cfg.max_source_positions)
+    )[:T, :T]
+    if N:
+        image_rp_full = jnp.asarray(
+            pos_lib.make_image_bucket_position(cfg.image_bucket_size, cfg.image_num_rel_dis)
+        )
+        # gather per-sample buckets: [B, N, N]
+        image_rp = image_rp_full[image_pos_ids[:, :, None], image_pos_ids[:, None, :]]
+
+    def layer_body(x, layer_in):
+        layer_p, token_table, image_table = layer_in
+        rel_text = token_table[token_rp]  # [T, T, H]
+        bias = abs_bias
+        # add text rel bias to the bottom-right [T, T] block
+        bias = bias.at[:, :, S - T :, S - T :].add(
+            rel_text.transpose(2, 0, 1)[None].astype(bias.dtype)
+        )
+        if N:
+            rel_img = image_table[image_rp]  # [B, N, N, H]
+            bias = bias.at[:, :, :N, :N].add(
+                rel_img.transpose(0, 3, 1, 2).astype(bias.dtype)
+            )
+        fwd = lambda xx: _encoder_layer(
+            layer_p, cfg, xx, bias, padding_mask, rngs=rngs, deterministic=deterministic
+        )
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(x), None
+
+    xs = (
+        enc["layers"],
+        enc["token_rel_pos_table"],
+        enc["image_rel_pos_table"],
+    )
+    x, _ = jax.lax.scan(layer_body, x, xs)
+
+    x = _layer_norm(enc["layer_norm"], x)
+    return EncoderOut(x=x, padding_mask=padding_mask, pos_embed=pos_for_bias)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _decoder_pos_setup(
+    params: Params,
+    cfg: ModelConfig,
+    B: int,
+    T: int,
+    encoder_pos: jnp.ndarray,  # [B, S, d]
+    code_masks: Optional[jnp.ndarray],  # [B] bool or None
+    dtype,
+):
+    """Target positional embeddings + self/cross abs-pos biases.
+
+    ref: unify_transformer.py:1445-1466 + get_pos_info :1297-1318.
+    Returns (tgt_pos_embed [B,T,d], self_bias [B,H,T,T], cross_bias [B,H,T,S]).
+    """
+    dec = params["decoder"]
+    tok_pos = dec["embed_positions"][jnp.arange(T)][None]
+    tok_pos = jnp.broadcast_to(tok_pos, (B, T, cfg.embed_dim))
+    if code_masks is not None:
+        img_idx = jnp.asarray(
+            pos_lib.decoder_image_position_idx(
+                cfg.code_image_size, cfg.image_bucket_size, cfg.max_target_positions
+            )
+        )[:T]
+        img_pos = dec["embed_image_positions"][img_idx][None]
+        img_pos = jnp.broadcast_to(img_pos, (B, T, cfg.embed_dim))
+        tgt_pos_embed = jnp.where(code_masks[:, None, None], img_pos, tok_pos)
+    else:
+        tgt_pos_embed = tok_pos
+
+    def self_bias_for(use_image: bool):
+        ln = dec["image_pos_ln"] if use_image else dec["pos_ln"]
+        pe = _layer_norm(ln, tgt_pos_embed.astype(dtype))
+        return _abs_pos_bias(dec["self_pos_q_linear"], dec["self_pos_k_linear"], pe, cfg), pe
+
+    self_bias, pe_tok = self_bias_for(False)
+    if code_masks is not None:
+        self_bias_img, pe_img = self_bias_for(True)
+        self_bias = jnp.where(code_masks[:, None, None, None], self_bias_img, self_bias)
+        pe_cross = jnp.where(code_masks[:, None, None], pe_img, pe_tok)
+    else:
+        pe_cross = pe_tok
+
+    # cross bias: q from tgt pos (LN'd), k from encoder's LN'd pos embeds
+    H = cfg.attention_heads
+    scaling = float(cfg.embed_dim / H * cfg.attn_scale_factor) ** -0.5
+    S = encoder_pos.shape[1]
+    pq = (
+        (pe_cross.astype(jnp.float32) @ dec["cross_pos_q_linear"]["w"] + dec["cross_pos_q_linear"]["b"])
+        .reshape(B, T, H, -1)
+        .transpose(0, 2, 1, 3)
+        * scaling
+    )
+    pk = (
+        (encoder_pos.astype(jnp.float32) @ dec["cross_pos_k_linear"]["w"] + dec["cross_pos_k_linear"]["b"])
+        .reshape(B, S, H, -1)
+        .transpose(0, 2, 1, 3)
+    )
+    cross_bias = jnp.einsum("bhqd,bhkd->bhqk", pq, pk)
+    return tgt_pos_embed, self_bias, cross_bias
+
+
+def _decoder_embed(
+    params: Params,
+    cfg: ModelConfig,
+    prev_output_tokens: jnp.ndarray,
+    tgt_pos_embed: jnp.ndarray,
+    code_masks: Optional[jnp.ndarray],
+    dtype,
+    rngs=None,
+    deterministic=True,
+) -> jnp.ndarray:
+    dec = params["decoder"]
+    x = params["embed_tokens"].astype(dtype)[prev_output_tokens]
+    if cfg.decoder_entangle_positions:
+        x = x + tgt_pos_embed.astype(dtype)
+    x_tok = _layer_norm(dec["layernorm_embedding"], x)
+    if code_masks is not None:
+        x_code = _layer_norm(dec["code_layernorm_embedding"], x)
+        x = jnp.where(code_masks[:, None, None], x_code, x_tok)
+    else:
+        x = x_tok
+    return _dropout(x, cfg.dropout, rngs, deterministic)
+
+
+def _decoder_rel_bias(params, cfg, T: int, code_masks):
+    """Per-layer self-attn rel bias [L, H, T, T] (token and/or image variant)."""
+    dec = params["decoder"]
+    token_rp = jnp.asarray(
+        pos_lib.make_token_bucket_position(cfg.token_bucket_size, cfg.max_target_positions)
+    )[:T, :T]
+    rel_tok = dec["token_rel_pos_table"][:, token_rp]  # [L, T, T, H]
+    rel_tok = rel_tok.transpose(0, 3, 1, 2)  # [L, H, T, T]
+    if code_masks is None:
+        return rel_tok, None
+    img_idx = jnp.asarray(
+        pos_lib.decoder_image_position_idx(
+            cfg.code_image_size, cfg.image_bucket_size, cfg.max_target_positions
+        )
+    )[:T]
+    image_rp_full = jnp.asarray(
+        pos_lib.make_image_bucket_position(cfg.image_bucket_size, cfg.image_num_rel_dis)
+    )
+    image_rp = image_rp_full[img_idx[:, None], img_idx[None, :]]  # [T, T]
+    rel_img = dec["image_rel_pos_table"][:, image_rp].transpose(0, 3, 1, 2)
+    return rel_tok, rel_img
+
+
+def _decoder_layer(
+    p: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,
+    self_bias: jnp.ndarray,
+    cross_bias: jnp.ndarray,
+    enc_x: jnp.ndarray,
+    enc_pad: jnp.ndarray,
+    self_pad: Optional[jnp.ndarray],
+    causal_offset: Optional[int],
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    rngs=None,
+    deterministic=True,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Pre-LN decoder block (ref: unify_transformer_layer.py:296-615).
+
+    With `cache`, runs one incremental step: x is [B, 1, d], cache holds
+    self-attn K/V ([B, H, Tmax, hd]) and precomputed cross K/V.
+    """
+    def dr(i):
+        return None if rngs is None else jax.random.fold_in(rngs, i)
+
+    H = cfg.attention_heads
+    scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
+
+    residual = x
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    new_cache = None
+    if cache is None:
+        h = attention(
+            p["self_attn"], cfg, h, h, h, self_bias, self_pad,
+            causal_offset=causal_offset,
+            dropout_rate=cfg.attention_dropout, rng=dr(0), deterministic=deterministic,
+        )
+    else:
+        # incremental: append this step's K/V then attend over the prefix
+        q = _split_heads(_linear(p["self_attn"]["q_proj"], h) * scaling, H)
+        k_new = _split_heads(_linear(p["self_attn"]["k_proj"], h), H)
+        v_new = _split_heads(_linear(p["self_attn"]["v_proj"], h), H)
+        k = jax.lax.dynamic_update_slice(
+            cache["self_k"], k_new.astype(cache["self_k"].dtype), (0, 0, cache_index, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            cache["self_v"], v_new.astype(cache["self_v"].dtype), (0, 0, cache_index, 0)
+        )
+        new_cache = {**cache, "self_k": k, "self_v": v}
+        w = jnp.einsum("bhqd,bhkd->bhqk", q, k.astype(q.dtype), preferred_element_type=jnp.float32)
+        w = w + self_bias.astype(jnp.float32)
+        Tmax = k.shape[2]
+        valid = jnp.arange(Tmax)[None, None, None, :] <= cache_index
+        w = jnp.where(valid, w, NEG_INF)
+        probs = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(x.dtype))
+        out = _merge_heads(out)
+        if "c_attn" in p["self_attn"]:
+            b, t, _ = out.shape
+            out = (
+                out.reshape(b, t, H, cfg.head_dim)
+                * p["self_attn"]["c_attn"].astype(out.dtype)[None, None, :, None]
+            ).reshape(b, t, -1)
+        h = _linear(p["self_attn"]["out_proj"], out)
+    if "self_attn_ln" in p:
+        h = _layer_norm(p["self_attn_ln"], h)
+    h = _dropout(h, cfg.dropout, dr(1), deterministic)
+    x = residual + h
+
+    # cross attention
+    residual = x
+    h = _layer_norm(p["encoder_attn_layer_norm"], x)
+    if cache is None:
+        h = attention(
+            p["encoder_attn"], cfg, h, enc_x, enc_x, cross_bias, enc_pad,
+            dropout_rate=cfg.attention_dropout, rng=dr(2), deterministic=deterministic,
+        )
+    else:
+        q = _split_heads(_linear(p["encoder_attn"]["q_proj"], h) * scaling, H)
+        w = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache["cross_k"].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        w = w + cross_bias.astype(jnp.float32)
+        w = jnp.where(enc_pad[:, None, None, :], -jnp.inf, w)
+        probs = jax.nn.softmax(w, axis=-1)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, cache["cross_v"].astype(x.dtype))
+        out = _merge_heads(out)
+        if "c_attn" in p["encoder_attn"]:
+            b, t, _ = out.shape
+            out = (
+                out.reshape(b, t, H, cfg.head_dim)
+                * p["encoder_attn"]["c_attn"].astype(out.dtype)[None, None, :, None]
+            ).reshape(b, t, -1)
+        h = _linear(p["encoder_attn"]["out_proj"], out)
+    if "cross_attn_ln" in p:
+        h = _layer_norm(p["cross_attn_ln"], h)
+    h = _dropout(h, cfg.dropout, dr(3), deterministic)
+    x = residual + h
+
+    # FFN
+    residual = x
+    h = _layer_norm(p["final_layer_norm"], x)
+    h = _gelu(_linear(p["fc1"], h))
+    h = _dropout(h, cfg.activation_dropout, dr(4), deterministic)
+    if "ffn_layernorm" in p:
+        h = _layer_norm(p["ffn_layernorm"], h)
+    h = _linear(p["fc2"], h)
+    h = _dropout(h, cfg.dropout, dr(5), deterministic)
+    if "w_resid" in p:
+        residual = residual * p["w_resid"].astype(residual.dtype)
+    return residual + h, new_cache
+
+
+def decode(
+    params: Params,
+    cfg: ModelConfig,
+    prev_output_tokens: jnp.ndarray,  # [B, T]
+    encoder_out: EncoderOut,
+    code_masks: Optional[jnp.ndarray] = None,  # [B] bool
+    rngs: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    features_only: bool = False,
+) -> jnp.ndarray:
+    """Teacher-forced decoder forward → logits [B, T, V].
+
+    ref: unify_transformer.py:1393-1583.
+    """
+    B, T = prev_output_tokens.shape
+    dtype = jnp.dtype(cfg.dtype)
+    dec = params["decoder"]
+
+    tgt_pos_embed, self_bias, cross_bias = _decoder_pos_setup(
+        params, cfg, B, T, encoder_out.pos_embed, code_masks, dtype
+    )
+    x = _decoder_embed(
+        params, cfg, prev_output_tokens, tgt_pos_embed, code_masks, dtype,
+        rngs=rngs, deterministic=deterministic,
+    )
+    rel_tok, rel_img = _decoder_rel_bias(params, cfg, T, code_masks)
+
+    self_pad = prev_output_tokens == cfg.pad
+    # fairseq only applies self-attn padding mask when pads exist; padded
+    # positions' outputs are garbage either way (ignored by the loss), and the
+    # causal mask already hides them from real positions when targets are
+    # left-aligned. We pass it for full parity.
+    enc_x = encoder_out.x.astype(dtype)
+    enc_pad = encoder_out.padding_mask
+
+    def layer_body(x, layer_in):
+        if code_masks is None:
+            layer_p, rt = layer_in
+            rel = rt[None]
+        else:
+            layer_p, rt, ri = layer_in
+            rel = jnp.where(code_masks[:, None, None, None], ri[None], rt[None])
+        bias = self_bias + rel.astype(self_bias.dtype)
+        fwd = lambda xx: _decoder_layer(
+            layer_p, cfg, xx, bias, cross_bias, enc_x, enc_pad, self_pad,
+            causal_offset=0, rngs=rngs, deterministic=deterministic,
+        )[0]
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(x), None
+
+    xs = (
+        (dec["layers"], rel_tok)
+        if code_masks is None
+        else (dec["layers"], rel_tok, rel_img)
+    )
+    x, _ = jax.lax.scan(layer_body, x, xs)
+    x = _layer_norm(dec["layer_norm"], x)
+    if features_only:
+        return x
+    return output_layer(params, cfg, x)
+
+
+def output_layer(params: Params, cfg: ModelConfig, features: jnp.ndarray) -> jnp.ndarray:
+    """Tied output projection; pads vocab ids masked to -inf."""
+    logits = features @ params["embed_tokens"].astype(features.dtype).T
+    if cfg.padded_vocab_size > cfg.vocab_size:
+        mask = jnp.arange(cfg.padded_vocab_size) >= cfg.vocab_size
+        logits = jnp.where(mask[None, None, :], NEG_INF, logits)
+    return logits
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    src_tokens: jnp.ndarray,
+    prev_output_tokens: jnp.ndarray,
+    patch_images: Optional[jnp.ndarray] = None,
+    patch_masks: Optional[jnp.ndarray] = None,
+    code_masks: Optional[jnp.ndarray] = None,
+    sample_patch_order: Optional[jnp.ndarray] = None,
+    rngs: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    train_bn: bool = False,
+) -> jnp.ndarray:
+    """Full model forward → logits (ref: models/ofa/ofa.py:80-97)."""
+    enc_out = encode(
+        params, cfg, src_tokens, patch_images, patch_masks,
+        sample_patch_order=sample_patch_order,
+        rngs=rngs, deterministic=deterministic, train_bn=train_bn,
+    )
+    return decode(
+        params, cfg, prev_output_tokens, enc_out, code_masks=code_masks,
+        rngs=rngs, deterministic=deterministic,
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental decoding support
+# ---------------------------------------------------------------------------
+
+class DecoderState(NamedTuple):
+    """Static-shape state for incremental decoding under jit."""
+
+    cache: Dict[str, jnp.ndarray]  # stacked [L, ...] self_k/self_v/cross_k/cross_v
+    enc_pad: jnp.ndarray  # [B, S]
+    self_bias_full: jnp.ndarray  # [B, H, Tmax, Tmax] fp32 (abs pos, no rel)
+    cross_bias_full: jnp.ndarray  # [B, H, Tmax, S]
+    rel_full: jnp.ndarray  # [L, B or 1, H, Tmax, Tmax] self rel bias
+    tgt_pos_embed: jnp.ndarray  # [B, Tmax, d]
+
+
+def init_decoder_state(
+    params: Params,
+    cfg: ModelConfig,
+    encoder_out: EncoderOut,
+    max_len: int,
+    code_masks: Optional[jnp.ndarray] = None,
+) -> DecoderState:
+    """Precompute everything reusable across decode steps."""
+    dec = params["decoder"]
+    B, S, _ = encoder_out.x.shape
+    dtype = jnp.dtype(cfg.dtype)
+    H, hd, L = cfg.attention_heads, cfg.head_dim, cfg.decoder_layers
+
+    tgt_pos_embed, self_bias, cross_bias = _decoder_pos_setup(
+        params, cfg, B, max_len, encoder_out.pos_embed, code_masks, dtype
+    )
+    rel_tok, rel_img = _decoder_rel_bias(params, cfg, max_len, code_masks)
+    if code_masks is None:
+        rel = rel_tok[:, None]  # [L, 1, H, T, T]
+    else:
+        rel = jnp.where(
+            code_masks[None, :, None, None, None], rel_img[:, None], rel_tok[:, None]
+        )
+
+    # precompute per-layer cross K/V from encoder output
+    enc_x = encoder_out.x.astype(dtype)
+
+    def cross_kv(layer_p):
+        k = _split_heads(_linear(layer_p["encoder_attn"]["k_proj"], enc_x), H)
+        v = _split_heads(_linear(layer_p["encoder_attn"]["v_proj"], enc_x), H)
+        return k, v
+
+    cross_k, cross_v = jax.vmap(cross_kv)(dec["layers"])  # [L, B, H, S, hd]
+
+    cache = {
+        "self_k": jnp.zeros((L, B, H, max_len, hd), dtype),
+        "self_v": jnp.zeros((L, B, H, max_len, hd), dtype),
+        "cross_k": cross_k,
+        "cross_v": cross_v,
+    }
+    return DecoderState(
+        cache=cache,
+        enc_pad=encoder_out.padding_mask,
+        self_bias_full=self_bias,
+        cross_bias_full=cross_bias,
+        rel_full=rel,
+        tgt_pos_embed=tgt_pos_embed,
+    )
+
+
+def decode_step(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B] current input token
+    step: jnp.ndarray,  # scalar int32 current position
+    state: DecoderState,
+    code_masks: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, DecoderState]:
+    """One incremental decode step → (logits [B, V], new state)."""
+    dec = params["decoder"]
+    B = tokens.shape[0]
+    dtype = jnp.dtype(cfg.dtype)
+    Tmax = state.tgt_pos_embed.shape[1]
+
+    pos_embed_t = jax.lax.dynamic_slice_in_dim(state.tgt_pos_embed, step, 1, axis=1)
+    x = _decoder_embed(
+        params, cfg, tokens[:, None], pos_embed_t, code_masks, dtype
+    )
+
+    self_bias_t = jax.lax.dynamic_slice_in_dim(state.self_bias_full, step, 1, axis=2)
+    cross_bias_t = jax.lax.dynamic_slice_in_dim(state.cross_bias_full, step, 1, axis=2)
+    rel_t = jax.lax.dynamic_slice_in_dim(state.rel_full, step, 1, axis=3)  # [L,b,H,1,T]
+
+    L = cfg.decoder_layers
+    new_self_k = []
+    new_self_v = []
+    for i in range(L):
+        layer_p = jax.tree.map(lambda a: a[i], dec["layers"])
+        cache_i = {
+            "self_k": state.cache["self_k"][i],
+            "self_v": state.cache["self_v"][i],
+            "cross_k": state.cache["cross_k"][i],
+            "cross_v": state.cache["cross_v"][i],
+        }
+        bias_i = self_bias_t + rel_t[i].astype(self_bias_t.dtype)
+        x, cache_i = _decoder_layer(
+            layer_p, cfg, x, bias_i, cross_bias_t, None, state.enc_pad, None,
+            causal_offset=None, cache=cache_i, cache_index=step,
+        )
+        new_self_k.append(cache_i["self_k"])
+        new_self_v.append(cache_i["self_v"])
+
+    x = _layer_norm(dec["layer_norm"], x)
+    logits = output_layer(params, cfg, x)[:, 0]
+    new_cache = {
+        **state.cache,
+        "self_k": jnp.stack(new_self_k),
+        "self_v": jnp.stack(new_self_v),
+    }
+    return logits, state._replace(cache=new_cache)

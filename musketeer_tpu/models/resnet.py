@@ -1,0 +1,163 @@
+"""TPU-native ResNet image embedder (truncated torchvision ResNet v1.5).
+
+Functional JAX re-design of the reference embedder (ref: models/ofa/resnet.py:
+136-225): conv7x7/s2 → maxpool/s2 → layer1..3 (total stride 16, 1024 channels
+out, no layer4/fc). TPU-first choices:
+
+- NHWC layout + bf16 convs (XLA tiles these straight onto the MXU),
+- identical non-downsampling blocks are stacked and driven by ``lax.scan``
+  (fast compiles for the 36-block resnet152 stage),
+- batch-norm in train mode computes batch stats with plain ``jnp.mean`` —
+  under pjit over a data-sharded mesh that IS sync-BN (GSPMD inserts the
+  cross-replica reduction), replacing the reference's SyncBatchNorm
+  (ref: unify_transformer.py:47-50). Frozen mode uses stored running stats
+  (ref: models/ofa/frozen_bn.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+BN_EPS = 1e-5  # torchvision BatchNorm2d default (ref resnet.py uses default eps)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kh, kw, cin, cout):
+    # kaiming normal, fan_out, relu (ref: resnet.py:170-172)
+    fan_out = kh * kw * cout
+    std = np.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def _bn_init(c):
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def _block_init(key, cin, width, cout, downsample: bool):
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": _conv_init(ks[0], 1, 1, cin, width),
+        "bn1": _bn_init(width),
+        "conv2": _conv_init(ks[1], 3, 3, width, width),
+        "bn2": _bn_init(width),
+        "conv3": _conv_init(ks[2], 1, 1, width, cout),
+        "bn3": _bn_init(cout),
+    }
+    if downsample:
+        p["downsample_conv"] = _conv_init(ks[3], 1, 1, cin, cout)
+        p["downsample_bn"] = _bn_init(cout)
+    return p
+
+
+def init_resnet(key, layers: Sequence[int]) -> Params:
+    """Build the parameter pytree. `layers` e.g. (3,4,23) for resnet101."""
+    n_stages = 3
+    keys = jax.random.split(key, 1 + n_stages)
+    params: Params = {
+        "conv1": _conv_init(keys[0], 7, 7, 3, 64),
+        "bn1": _bn_init(64),
+    }
+    inplanes = 64
+    for s, (blocks, planes) in enumerate(zip(layers, (64, 128, 256))):
+        cout = planes * 4
+        skey = jax.random.split(keys[1 + s], blocks)
+        first = _block_init(skey[0], inplanes, planes, cout, downsample=True)
+        rest = [
+            _block_init(skey[i], cout, planes, cout, downsample=False)
+            for i in range(1, blocks)
+        ]
+        params[f"layer{s+1}"] = {
+            "first": first,
+            "rest": jax.tree.map(lambda *xs: jnp.stack(xs), *rest)
+            if rest
+            else None,
+        }
+        inplanes = cout
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _conv(x, w, stride=1, padding=None):
+    # Explicit torch-style padding (kernel//2) — XLA's SAME places stride-2
+    # windows one pixel off vs torch, which would break checkpoint parity.
+    if padding is None:
+        p = (w.shape[0] - 1) // 2
+        padding = [(p, p), (p, p)]
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _bn(x, p, train: bool):
+    """BatchNorm over NHWC. Train mode = batch stats (global under pjit)."""
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+    else:
+        mean, var = p["mean"], p["var"]
+    inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
+    out = (xf - mean) * inv + p["bias"]
+    return out.astype(x.dtype)
+
+
+def _bottleneck(x, p, train: bool, stride: int = 1):
+    identity = x
+    out = jax.nn.relu(_bn(_conv(x, p["conv1"]), p["bn1"], train))
+    out = jax.nn.relu(_bn(_conv(out, p["conv2"], stride=stride), p["bn2"], train))
+    out = _bn(_conv(out, p["conv3"]), p["bn3"], train)
+    if "downsample_conv" in p:
+        identity = _bn(
+            _conv(x, p["downsample_conv"], stride=stride), p["downsample_bn"], train
+        )
+    return jax.nn.relu(identity + out)
+
+
+def _stage(x, p, train: bool, stride: int):
+    x = _bottleneck(x, p["first"], train, stride=stride)
+    if p["rest"] is not None:
+        def body(h, block_p):
+            return _bottleneck(h, block_p, train), None
+        x, _ = jax.lax.scan(body, x, p["rest"])
+    return x
+
+
+def resnet_forward(params: Params, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    """images: [B, H, W, 3] → features [B, H/16, W/16, 1024]."""
+    x = _conv(images, params["conv1"], stride=2)
+    x = jax.nn.relu(_bn(x, params["bn1"], train))
+    # maxpool 3x3 stride 2 pad 1
+    x = jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    x = _stage(x, params["layer1"], train, stride=1)
+    x = _stage(x, params["layer2"], train, stride=2)
+    x = _stage(x, params["layer3"], train, stride=2)
+    return x

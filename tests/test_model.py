@@ -1,0 +1,168 @@
+"""Model-core invariants: shapes, masking, incremental-vs-full decode parity.
+
+The strongest correctness check available without the reference checkpoint:
+the incremental KV-cache decode path must produce bit-close logits to the
+teacher-forced full forward (they share no code path for attention state).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musketeer_tpu.config import ModelConfig, ofa_tiny
+from musketeer_tpu.models import ofa
+
+
+def tiny_cfg(**kw) -> ModelConfig:
+    from dataclasses import replace
+
+    base = replace(
+        ofa_tiny(),
+        embed_dim=64,
+        ffn_dim=128,
+        encoder_layers=2,
+        decoder_layers=2,
+        attention_heads=4,
+        vocab_size=200,
+        padded_vocab_size=256,
+        resnet_layers=(1, 1, 1),
+        dtype="float32",
+    )
+    return replace(base, **kw)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def make_batch(cfg, B=2, T=8, img=32, seed=0):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(4, cfg.vocab_size - 1, (B, T)).astype(np.int32)
+    src[:, -1] = cfg.eos
+    src[0, T - 3 :] = [cfg.eos, cfg.pad, cfg.pad]  # ragged lengths
+    imgs = rng.randn(B, img, img, 3).astype(np.float32)
+    masks = np.ones((B,), bool)
+    return jnp.asarray(src), jnp.asarray(imgs), jnp.asarray(masks)
+
+
+def test_encoder_shapes(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    out = ofa.encode(params, cfg, src, imgs, masks)
+    B, T = src.shape
+    n_patches = (32 // 16) ** 2
+    S = n_patches + T
+    assert out.x.shape == (B, S, cfg.embed_dim)
+    assert out.padding_mask.shape == (B, S)
+    assert out.pos_embed.shape == (B, S, cfg.embed_dim)
+    # text pads marked
+    assert bool(out.padding_mask[0, -1]) and not bool(out.padding_mask[1, -1])
+
+
+def test_text_only_encoder(tiny):
+    cfg, params = tiny
+    src, _, _ = make_batch(cfg)
+    out = ofa.encode(params, cfg, src)
+    assert out.x.shape == (src.shape[0], src.shape[1], cfg.embed_dim)
+
+
+def test_padding_invariance(tiny):
+    """Changing a padded token id must not change non-pad outputs."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    out1 = ofa.encode(params, cfg, src, imgs, masks)
+    src2 = src.at[0, -1].set(17)  # pad position content change
+    # keep it marked as pad? no — set pad id elsewhere: modify a pad slot
+    src2 = src.at[0, -1].set(cfg.pad)  # already pad; instead perturb beyond-eos pad
+    # src[0, -2:] are pad; swap one pad for another value but keep mask the same
+    # can't: mask derives from token==pad. Instead check padded-position output
+    # doesn't affect decoding of real positions:
+    prev = jnp.full((2, 4), 5, jnp.int32).at[:, 0].set(cfg.bos)
+    l1 = ofa.decode(params, cfg, prev, out1)
+    # zero-out padded encoder rows; logits must be unchanged
+    ex = out1.x * (1 - out1.padding_mask[:, :, None].astype(out1.x.dtype))
+    out2 = ofa.EncoderOut(ex, out1.padding_mask, out1.pos_embed)
+    l2 = ofa.decode(params, cfg, prev, out2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_causality(tiny):
+    """Changing future target tokens must not change past logits."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    prev = jnp.asarray(np.random.RandomState(1).randint(4, 100, (2, 6)), jnp.int32)
+    l1 = ofa.decode(params, cfg, prev, enc)
+    prev2 = prev.at[:, 4].set(9)
+    l2 = ofa.decode(params, cfg, prev2, enc)
+    np.testing.assert_allclose(
+        np.asarray(l1[:, :4]), np.asarray(l2[:, :4]), rtol=1e-5, atol=1e-5
+    )
+    assert np.abs(np.asarray(l1[:, 4:]) - np.asarray(l2[:, 4:])).max() > 1e-6
+
+
+def test_incremental_matches_full(tiny):
+    """KV-cache step decode == teacher-forced full decode."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    T = 6
+    prev = jnp.asarray(np.random.RandomState(2).randint(4, 100, (2, T)), jnp.int32)
+    prev = prev.at[:, 0].set(cfg.bos)
+
+    full_logits = ofa.decode(params, cfg, prev, enc)  # [B, T, V]
+
+    state = ofa.init_decoder_state(params, cfg, enc, max_len=T)
+    inc_logits = []
+    for t in range(T):
+        logits_t, state = ofa.decode_step(
+            params, cfg, prev[:, t], jnp.int32(t), state
+        )
+        inc_logits.append(logits_t)
+    inc = jnp.stack(inc_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full_logits), np.asarray(inc), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_incremental_matches_full_with_code_masks(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    T = 5
+    prev = jnp.asarray(np.random.RandomState(3).randint(4, 100, (2, T)), jnp.int32)
+    code_masks = jnp.asarray([True, False])
+
+    full_logits = ofa.decode(params, cfg, prev, enc, code_masks=code_masks)
+    state = ofa.init_decoder_state(params, cfg, enc, max_len=T, code_masks=code_masks)
+    for t in range(T):
+        logits_t, state = ofa.decode_step(
+            params, cfg, prev[:, t], jnp.int32(t), state, code_masks=code_masks
+        )
+        np.testing.assert_allclose(
+            np.asarray(full_logits[:, t]), np.asarray(logits_t), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_vocab_padding_masked(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    prev = jnp.full((2, 3), 5, jnp.int32)
+    logits = ofa.decode(params, cfg, prev, enc)
+    assert np.asarray(logits[..., cfg.vocab_size :]).max() <= ofa.NEG_INF
+
+
+def test_jit_forward(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    prev = jnp.full((2, 4), 5, jnp.int32)
+    f = jax.jit(lambda p, s, i, m, t: ofa.forward(p, cfg, s, t, i, m))
+    logits = f(params, src, imgs, masks, prev)
+    assert logits.shape == (2, 4, cfg.padded_vocab_size)
+    l2 = ofa.forward(params, cfg, src, prev, imgs, masks)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(l2), rtol=1e-4, atol=1e-4)
