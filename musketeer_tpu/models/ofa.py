@@ -144,9 +144,12 @@ def init_ofa_params(key: jax.Array, cfg: ModelConfig) -> Params:
     keys = jax.random.split(key, 16)
     d = cfg.embed_dim
     V = cfg.padded_vocab_size
+    # rows >= vocab_size are layout padding (128-multiple), kept zero
+    embed_tokens = _init_embed(keys[0], V, d)
+    embed_tokens = embed_tokens * (jnp.arange(V)[:, None] < cfg.vocab_size)
     params: Params = {
         # shared token embedding (encoder input / decoder input / output proj)
-        "embed_tokens": _init_embed(keys[0], V, d),
+        "embed_tokens": embed_tokens,
         "encoder": {
             "layernorm_embedding": _init_ln(d),
             "patch_layernorm_embedding": _init_ln(d),

@@ -148,10 +148,10 @@ def resnet_forward(params: Params, images: jnp.ndarray, train: bool = False) -> 
     """images: [B, H, W, 3] → features [B, H/16, W/16, 1024]."""
     x = _conv(images, params["conv1"], stride=2)
     x = jax.nn.relu(_bn(x, params["bn1"], train))
-    # maxpool 3x3 stride 2 pad 1
+    # maxpool 3x3 stride 2 pad 1 (-inf init keeps the reduce-window VJP valid)
     x = jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),

@@ -168,9 +168,14 @@ class OFAVocab:
         append_eos: bool = False,
         use_bpe: bool = True,
     ) -> np.ndarray:
-        """Text → model ids (ref semantics: data/ofa_dataset.py:31-43)."""
+        """Text → model ids (ref semantics: data/ofa_dataset.py:31-43).
+
+        The text is encoded VERBATIM — callers include leading spaces
+        exactly like the reference datasets do (e.g. ``" what does the
+        image describe?"`` vs TEP prompts that start unspaced).
+        """
         if use_bpe:
-            toks = [str(t) for t in self.bpe.encode(" " + text.strip())] if text.strip() else []
+            toks = [str(t) for t in self.bpe.encode(text)] if text else []
         else:
             toks = text.strip().split()
         if length is not None:

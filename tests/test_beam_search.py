@@ -1,0 +1,206 @@
+"""Beam-search parity: jitted while_loop search vs a naive Python reference
+implementation driven by the same model (full re-decode each step)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musketeer_tpu.config import GenerationConfig
+from musketeer_tpu.generation import DenseTrie, beam_search
+from musketeer_tpu.models import ofa
+from tests.test_model import make_batch, tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(42), cfg)
+    return cfg, params
+
+
+def naive_beam(params, cfg, enc, K, max_len, min_len=1, len_penalty=1.0):
+    """Reference beam search in plain Python over full teacher-forced decode."""
+    B = enc.x.shape[0]
+    results = []
+    for b in range(B):
+        enc_b = ofa.EncoderOut(enc.x[b : b + 1], enc.padding_mask[b : b + 1], enc.pos_embed[b : b + 1])
+        beams = [([cfg.bos], 0.0)]
+        finished = []
+        for step in range(max_len + 1):
+            cands = []
+            for toks, score in beams:
+                prev = jnp.asarray([toks], jnp.int32)
+                logits = ofa.decode(params, cfg, prev, enc_b)
+                lp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+                lp = np.asarray(lp, np.float64)
+                lp[cfg.pad] = -math.inf
+                if step < min_len:
+                    lp[cfg.eos] = -math.inf
+                if step >= max_len:
+                    keep = lp[cfg.eos]
+                    lp[:] = -math.inf
+                    lp[cfg.eos] = 0.0
+                for tok in np.argsort(lp)[::-1][: 2 * K]:
+                    cands.append((toks + [int(tok)], score + lp[tok]))
+            cands.sort(key=lambda c: -c[1])
+            cands = cands[: 2 * K]
+            new_beams = []
+            for toks, score in cands:
+                if toks[-1] == cfg.eos:
+                    finished.append((toks, score / (step + 1) ** len_penalty))
+                else:
+                    new_beams.append((toks, score))
+                if len(new_beams) == K:
+                    break
+            beams = new_beams
+            if not beams:
+                break
+        finished.sort(key=lambda c: -c[1])
+        results.append(finished[:K])
+    return results
+
+
+def test_beam_matches_naive(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    gen_cfg = GenerationConfig(beam_size=3, max_len_b=5, min_len=1)
+    tokens, scores = jax.jit(
+        lambda p, e: beam_search(p, cfg, gen_cfg, e, max_len=5)
+    )(params, enc)
+    ref = naive_beam(params, cfg, enc, K=3, max_len=5)
+    for b in range(2):
+        ref_toks, ref_score = ref[b][0]
+        got = [t for t in np.asarray(tokens[b, 0]) if t != cfg.pad]
+        assert got == ref_toks[1:], f"b={b}: {got} vs {ref_toks[1:]}"
+        np.testing.assert_allclose(float(scores[b, 0]), ref_score, rtol=1e-3)
+    # scores sorted descending
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_greedy_matches_stepwise(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6, seed=5)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    max_len = 6
+    gen_cfg = GenerationConfig(beam_size=1, max_len_b=max_len, min_len=1)
+    tokens, _ = beam_search(params, cfg, gen_cfg, enc, max_len=max_len)
+
+    # manual greedy
+    state = ofa.init_decoder_state(params, cfg, enc, max_len=max_len + 1)
+    tok = jnp.full((2,), cfg.bos, jnp.int32)
+    out = [[], []]
+    done = [False, False]
+    for t in range(max_len + 1):
+        logits, state = ofa.decode_step(params, cfg, tok, jnp.int32(t), state)
+        lp = np.array(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
+        lp[:, cfg.pad] = -np.inf
+        if t < 1:
+            lp[:, cfg.eos] = -np.inf
+        if t >= max_len:
+            only = np.full_like(lp, -np.inf)
+            only[:, cfg.eos] = 0
+            lp = only
+        nxt = lp.argmax(-1)
+        for b in range(2):
+            if not done[b]:
+                out[b].append(int(nxt[b]))
+                if nxt[b] == cfg.eos:
+                    done[b] = True
+        tok = jnp.asarray(nxt, jnp.int32)
+    for b in range(2):
+        got = [t for t in np.asarray(tokens[b, 0]) if t != cfg.pad]
+        assert got == out[b]
+
+
+def test_gen_box_structure(tiny):
+    """gen_box: 4 <bin> tokens then eos (refcoco decode shape)."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    bin_start = cfg.vocab_size - cfg.num_bins
+    gen_cfg = GenerationConfig(
+        beam_size=2, max_len_b=4, min_len=4, gen_box=True,
+        constraint_range=(bin_start, cfg.vocab_size),
+    )
+    tokens, _ = beam_search(params, cfg, gen_cfg, enc, max_len=4)
+    for b in range(2):
+        seq = [int(t) for t in np.asarray(tokens[b, 0]) if t != cfg.pad]
+        assert len(seq) == 5
+        assert all(bin_start <= t < cfg.vocab_size for t in seq[:4]), seq
+        assert seq[4] == cfg.eos
+
+
+def test_prefix_forcing(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    prefix = jnp.asarray([[7, 8], [9, cfg.pad]], jnp.int32)
+    gen_cfg = GenerationConfig(beam_size=2, max_len_b=6, min_len=1)
+    tokens, _ = beam_search(params, cfg, gen_cfg, enc, max_len=6, prefix_tokens=prefix)
+    t0 = np.asarray(tokens[0, 0])
+    assert t0[0] == 7 and t0[1] == 8
+    t1 = np.asarray(tokens[1, 0])
+    assert t1[0] == 9
+
+
+def test_trie_constrained_decode(tiny):
+    """With a trie over fixed answers, every hypo must be one of them."""
+    cfg, params = tiny
+    answers = [[10, 11, cfg.eos], [10, 12, 13, cfg.eos], [14, cfg.eos]]
+    trie = DenseTrie(answers, cfg.padded_vocab_size)
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    gen_cfg = GenerationConfig(beam_size=3, max_len_b=6, min_len=1)
+    tokens, scores = beam_search(params, cfg, gen_cfg, enc, max_len=6, trie=trie)
+    valid = {tuple(a) for a in answers}
+    for b in range(2):
+        for k in range(3):
+            if scores[b, k] <= -1e8:
+                continue
+            seq = tuple(int(t) for t in np.asarray(tokens[b, k]) if t != cfg.pad)
+            assert seq in valid, seq
+
+
+def test_trie_tables_match_python_walk():
+    answers = [[10, 11, 2], [10, 12, 13, 2], [14, 2], [10, 11, 15, 2]]
+    V = 64
+    trie = DenseTrie(answers, V)
+
+    # python reference walk
+    def py_allowed(prefix):
+        node = {"c": {}}
+        root = node
+        for a in answers:
+            cur = root
+            for t in a:
+                cur = cur["c"].setdefault(t, {"c": {}})
+        cur = root
+        for t in prefix:
+            if t not in cur["c"]:
+                return {2}
+            cur = cur["c"][t]
+        return set(cur["c"].keys())
+
+    for prefix in [[], [10], [10, 11], [10, 12], [14], [99], [10, 99]]:
+        node = jnp.asarray([0], jnp.int32)
+        for t in prefix:
+            node = trie.transition(node, jnp.asarray([t], jnp.int32))
+        mask = np.asarray(trie.allowed_mask(node, V))[0]
+        got = set(np.nonzero(mask)[0].tolist())
+        assert got == py_allowed(prefix), (prefix, got, py_allowed(prefix))
+
+
+def test_no_repeat_ngram(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=1, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    gen_cfg = GenerationConfig(beam_size=2, max_len_b=12, min_len=10, no_repeat_ngram_size=2)
+    tokens, scores = beam_search(params, cfg, gen_cfg, enc, max_len=12)
+    seq = [int(t) for t in np.asarray(tokens[0, 0]) if t != cfg.pad][:-1]
+    bigrams = list(zip(seq, seq[1:]))
+    assert len(bigrams) == len(set(bigrams)), f"repeated bigram in {seq}"

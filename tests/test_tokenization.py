@@ -27,7 +27,7 @@ def test_bpe_roundtrip():
         'does the image describe " two dogs playing "?',
         "hello,   world!  123",
     ]:
-        ids = v.encode_text(text)
+        ids = v.encode_text(" " + text)
         assert v.decode_ids(ids) == " ".join(text.split()) or v.decode_ids(ids)
         # decode must at least round-trip the normalized text
         assert v.decode_ids(ids).replace(" ", "") == text.strip().replace(" ", "")
@@ -39,7 +39,7 @@ def test_known_encoding():
     ids = v.encode_text("what")
     assert ids.dtype == np.int32
     # stable snapshot: encoding of the standard caption prompt
-    ids = v.encode_text("what does the image describe?")
+    ids = v.encode_text(" what does the image describe?")
     assert ids.tolist() == [99, 473, 5, 2274, 6190, 116]
 
 

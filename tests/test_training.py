@@ -1,0 +1,169 @@
+"""Training-step tests: loss decreases, grad-accum consistency, criterion
+semantics (smoothing support, drop-worst, R-Drop), and mesh-sharded training
+on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musketeer_tpu.config import CriterionConfig, MeshConfig, OptimConfig
+from musketeer_tpu.criterions import label_smoothed_ce
+from musketeer_tpu.models import ofa
+from musketeer_tpu.parallel import make_mesh, shard_params
+from musketeer_tpu.parallel.mesh import accum_batch_sharding
+from musketeer_tpu.training import TaskBatch, init_train_state, make_train_step
+from tests.test_model import tiny_cfg
+
+
+def text_batch(cfg, B=4, Ts=8, Tt=6, seed=0, accum=None):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(4, cfg.vocab_size - 1, (B, Ts)).astype(np.int32)
+    tgt = rng.randint(4, cfg.vocab_size - 1, (B, Tt)).astype(np.int32)
+    tgt[:, -1] = cfg.eos
+    prev = np.roll(tgt, 1, axis=1)
+    prev[:, 0] = cfg.bos
+    b = TaskBatch(
+        src_tokens=jnp.asarray(src),
+        prev_output_tokens=jnp.asarray(prev),
+        target=jnp.asarray(tgt),
+    )
+    if accum is not None:
+        b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (accum,) + a.shape), b
+        )
+    return b
+
+
+def test_ce_matches_manual():
+    V, eps = 16, 0.1
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 3, V), jnp.float32)
+    tgt = jnp.asarray([[4, 5, 1], [6, 2, 1]], jnp.int32)  # pads ignored
+    out = label_smoothed_ce(logits, tgt, epsilon=eps, pad_id=1)
+    lp = np.asarray(jax.nn.log_softmax(logits, -1), np.float64)
+    exp_loss = 0.0
+    exp_nll = 0.0
+    n = 0
+    for b in range(2):
+        for t in range(3):
+            if int(tgt[b, t]) == 1:
+                continue
+            nll = -lp[b, t, int(tgt[b, t])]
+            smooth = -lp[b, t].sum()
+            eps_i = eps / (V - 1)
+            exp_loss += (1 - eps - eps_i) * nll + eps_i * smooth
+            exp_nll += nll
+            n += 1
+    np.testing.assert_allclose(float(out.loss), exp_loss, rtol=1e-5)
+    np.testing.assert_allclose(float(out.nll_loss), exp_nll, rtol=1e-5)
+    assert int(out.ntokens) == n
+
+
+def test_ce_constraint_masks_change_support():
+    V = 16
+    logits = jnp.zeros((1, 1, V))
+    tgt = jnp.asarray([[4]], jnp.int32)
+    cm = jnp.zeros((1, 1, V), bool).at[0, 0, jnp.asarray([4, 5, 6])].set(True)
+    out = label_smoothed_ce(logits, tgt, epsilon=0.1, constraint_masks=cm)
+    # with 3 allowed tokens of equal logits: nll = log(3)
+    np.testing.assert_allclose(float(out.nll_loss), np.log(3.0), rtol=1e-5)
+
+
+def test_ce_drop_worst():
+    V = 8
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(1, 10, V), jnp.float32)
+    tgt = jnp.asarray(rng.randint(4, V, (1, 10)), jnp.int32)
+    full = label_smoothed_ce(logits, tgt, epsilon=0.0)
+    dropped = label_smoothed_ce(
+        logits, tgt, epsilon=0.0, drop_worst_ratio=0.2,
+        drop_worst_active=jnp.asarray(True),
+    )
+    assert int(dropped.ntokens) == 8  # floor(10 * 0.8)
+    assert float(dropped.loss) < float(full.loss)
+    inactive = label_smoothed_ce(
+        logits, tgt, epsilon=0.0, drop_worst_ratio=0.2,
+        drop_worst_active=jnp.asarray(False),
+    )
+    np.testing.assert_allclose(float(inactive.loss), float(full.loss), rtol=1e-6)
+
+
+def test_ce_rdrop_zero_for_identical():
+    """KL term vanishes when the two copies produce identical lprobs."""
+    V = 8
+    logits1 = jnp.asarray(np.random.RandomState(2).randn(2, 3, V), jnp.float32)
+    logits = jnp.concatenate([logits1, logits1], axis=0)
+    tgt1 = jnp.asarray(np.random.RandomState(3).randint(4, V, (2, 3)), jnp.int32)
+    tgt = jnp.concatenate([tgt1, tgt1], axis=0)
+    with_rdrop = label_smoothed_ce(logits, tgt, epsilon=0.1, use_rdrop=True)
+    without = label_smoothed_ce(logits, tgt, epsilon=0.1)
+    np.testing.assert_allclose(float(with_rdrop.loss), float(without.loss), rtol=1e-5)
+
+
+@pytest.mark.parametrize("accum", [1, 2])
+def test_train_step_decreases_loss(accum):
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    crit = CriterionConfig(label_smoothing=0.1, drop_worst_ratio=0.0, use_rdrop=False)
+    optim = OptimConfig(lr=2e-3, warmup_updates=2, total_updates=50, clip_norm=1.0, weight_decay=0.0)
+    state = init_train_state(params, optim)
+    step_fn = make_train_step(cfg, crit, optim, donate=False)
+    batch = {"caption": text_batch(cfg, accum=accum)}
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.step) == 8
+
+
+def test_multitask_step():
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    crit = CriterionConfig()
+    optim = OptimConfig(lr=1e-3, warmup_updates=2, total_updates=50)
+    state = init_train_state(params, optim, ema_decay=0.99)
+    step_fn = make_train_step(cfg, crit, optim, ema_decay=0.99, donate=False)
+    batches = {
+        "caption": text_batch(cfg, B=2, Ts=8, Tt=6, seed=0, accum=1),
+        "vqa": text_batch(cfg, B=2, Ts=10, Tt=4, seed=1, accum=1),
+    }
+    for i in range(3):  # step 0 has lr=0 (warmup ramp), take a few
+        state, metrics = step_fn(state, batches, jax.random.PRNGKey(i))
+    assert "loss/caption" in metrics and "loss/vqa" in metrics
+    assert np.isfinite(float(metrics["loss"]))
+    assert state.ema_params is not None
+    # EMA shadow moved toward new params but differs from them
+    diff = jax.tree.leaves(
+        jax.tree.map(lambda e, p: float(jnp.abs(e - p).max()), state.ema_params, state.params)
+    )
+    assert max(diff) > 0
+
+
+def test_sharded_train_step(cpu_devices):
+    """Full train step under an 8-device mesh (data=4, fsdp=2)."""
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2, model=1))
+    crit = CriterionConfig()
+    optim = OptimConfig(lr=1e-3, warmup_updates=2, total_updates=50)
+
+    with jax.set_mesh(mesh):
+        sparams = shard_params(mesh, params)
+        state = init_train_state(sparams, optim)
+        step_fn = make_train_step(cfg, crit, optim, donate=False)
+        batch = {"caption": jax.tree.map(
+            lambda a: jax.device_put(a, accum_batch_sharding(mesh)),
+            text_batch(cfg, B=8, accum=1),
+        )}
+        state2, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+    # parity with unsharded step
+    state_ref = init_train_state(params, optim)
+    step_ref = make_train_step(cfg, crit, optim, donate=False)
+    _, metrics_ref = step_ref(state_ref, {"caption": text_batch(cfg, B=8, accum=1)}, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-4
+    )
