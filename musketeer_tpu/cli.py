@@ -1,0 +1,215 @@
+"""Command-line entry points: train / evaluate / convert.
+
+Replaces the reference's fairseq-launched train.py / evaluate.py + ~60-flag
+bash scripts (ref: run_scripts/musketeer/train_musketeer.sh:95-177) with a
+typed-config CLI. Single-controller JAX: run once per host, no process spawn.
+
+Usage:
+  python -m musketeer_tpu.cli train --tasks caption=path.tsv,vqa_gen=path2.tsv \
+      --arch ofa_base --description tep --save-dir ckpts [...]
+  python -m musketeer_tpu.cli evaluate --task caption --data path.tsv \
+      --ckpt ckpts/checkpoint_best [--pt reference.pt]
+  python -m musketeer_tpu.cli convert --pt ofa_base.pt --out ckpts/converted
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+)
+logger = logging.getLogger("musketeer_tpu.cli")
+
+
+def _add_common(p):
+    p.add_argument("--arch", default="ofa_base")
+    p.add_argument("--description", default="tep", choices=["base", "tep", "onehot"])
+    p.add_argument("--patch-image-size", type=int, default=480)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--limit", type=int, default=None)
+
+
+def cmd_train(args):
+    import jax
+
+    from .config import CriterionConfig, MeshConfig, OptimConfig, TrainConfig, ARCH_PRESETS
+    from .models import ofa
+    from .parallel import make_mesh, shard_params
+    from .tasks import MusketeerDataLoader, SubTaskSpec
+    from .tokenization import default_vocab
+    from .training import init_train_state, train_loop
+    from .training.checkpoint import import_pt
+
+    vocab = default_vocab()
+    model_cfg = ARCH_PRESETS[args.arch]()
+    specs = []
+    for item in args.tasks.split(","):
+        name, path = item.split("=", 1)
+        specs.append(
+            SubTaskSpec(
+                name, path, batch_size=args.batch_size,
+                src_len=args.src_bucket, tgt_len=args.tgt_bucket,
+                task_kwargs={"patch_image_size": args.patch_image_size}
+                if name not in ("gigaword", "cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli")
+                else {},
+            )
+        )
+    loader = MusketeerDataLoader(
+        vocab, specs, description=args.description,
+        eq_sampling=args.eq_sampling, update_freq=args.update_freq,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+    )
+    cfg = TrainConfig(
+        arch=args.arch,
+        update_freq=args.update_freq,
+        ema_decay=args.ema_decay,
+        patience=args.patience,
+        max_epoch=args.max_epoch,
+        max_update=args.max_update,
+        optim=OptimConfig(
+            lr=args.lr, warmup_updates=args.warmup_updates,
+            total_updates=args.total_updates, clip_norm=args.clip_norm,
+        ),
+        criterion=CriterionConfig(
+            label_smoothing=args.label_smoothing,
+            drop_worst_ratio=args.drop_worst_ratio,
+            drop_worst_after=args.drop_worst_after,
+            use_rdrop=args.use_rdrop,
+        ),
+        mesh=MeshConfig(data=-1, fsdp=args.fsdp, model=args.model_parallel),
+    )
+    if args.restore_pt:
+        params, model_cfg = import_pt(args.restore_pt, model_cfg)
+        params = jax.tree.map(jax.numpy.asarray, params)
+        logger.info("restored reference checkpoint %s", args.restore_pt)
+    else:
+        params = ofa.init_ofa_params(jax.random.PRNGKey(cfg.seed), model_cfg)
+
+    mesh = make_mesh(cfg.mesh)
+    with jax.set_mesh(mesh):
+        params = shard_params(mesh, params)
+        state = init_train_state(params, cfg.optim, ema_decay=cfg.ema_decay)
+        state = train_loop(
+            cfg, model_cfg, state, loader,
+            save_dir=args.save_dir, max_epoch=args.max_epoch,
+        )
+    logger.info("done at update %d", int(state.step))
+
+
+def cmd_evaluate(args):
+    import jax
+
+    from .config import ARCH_PRESETS
+    from .data import FileDataset
+    from .models import ofa
+    from .tasks import TASK_REGISTRY
+    from .tokenization import default_vocab
+    from .training.checkpoint import import_pt
+
+    vocab = default_vocab()
+    model_cfg = ARCH_PRESETS[args.arch]()
+    if args.pt:
+        params, model_cfg = import_pt(args.pt, None)
+        params = jax.tree.map(jax.numpy.asarray, params)
+    elif args.ckpt:
+        from .config import OptimConfig
+        from .training import init_train_state, load_checkpoint
+        import os
+
+        params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
+        template = init_train_state(params, OptimConfig())
+        state, _ = load_checkpoint(
+            os.path.dirname(args.ckpt), template, os.path.basename(args.ckpt)
+        )
+        params = state.params
+    else:
+        logger.warning("no checkpoint given; evaluating random init")
+        params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
+
+    task_kw = {}
+    if args.task not in ("gigaword", "cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli"):
+        task_kw["patch_image_size"] = args.patch_image_size
+    if args.answers_file:
+        with open(args.answers_file) as f:
+            task_kw["answers"] = [line.strip() for line in f if line.strip()]
+    task = TASK_REGISTRY[args.task](vocab, description=args.description, **task_kw)
+    dataset = FileDataset(
+        args.data, shard_id=jax.process_index(), num_shards=jax.process_count()
+    )
+    metrics = task.evaluate(
+        params, model_cfg, dataset, batch_size=args.batch_size, limit=args.limit
+    )
+    metrics.pop("predictions", None)
+    print(json.dumps({"task": args.task, **{k: v for k, v in metrics.items()}}))
+
+
+def cmd_convert(args):
+    from .training.checkpoint import import_pt, save_checkpoint
+    from .config import OptimConfig
+    from .training import init_train_state
+    import jax
+    import os
+
+    params, model_cfg = import_pt(args.pt, None)
+    params = jax.tree.map(jax.numpy.asarray, params)
+    state = init_train_state(params, OptimConfig())
+    save_checkpoint(
+        os.path.dirname(args.out) or ".", state, os.path.basename(args.out),
+        {"source_pt": args.pt, "arch_embed_dim": model_cfg.embed_dim},
+    )
+    logger.info("converted %s -> %s", args.pt, args.out)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("musketeer_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    _add_common(pt)
+    pt.add_argument("--tasks", required=True, help="name=path.tsv[,name=path...]")
+    pt.add_argument("--save-dir", default=None)
+    pt.add_argument("--restore-pt", default=None)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--warmup-updates", type=int, default=1000)
+    pt.add_argument("--total-updates", type=int, default=30000)
+    pt.add_argument("--max-epoch", type=int, default=1)
+    pt.add_argument("--max-update", type=int, default=0)
+    pt.add_argument("--update-freq", type=int, default=1)
+    pt.add_argument("--clip-norm", type=float, default=1.0)
+    pt.add_argument("--label-smoothing", type=float, default=0.1)
+    pt.add_argument("--drop-worst-ratio", type=float, default=0.0)
+    pt.add_argument("--drop-worst-after", type=int, default=0)
+    pt.add_argument("--use-rdrop", action="store_true")
+    pt.add_argument("--ema-decay", type=float, default=0.0)
+    pt.add_argument("--patience", type=int, default=-1)
+    pt.add_argument("--eq-sampling", type=int, default=0)
+    pt.add_argument("--fsdp", type=int, default=1)
+    pt.add_argument("--model-parallel", type=int, default=1)
+    pt.add_argument("--src-bucket", type=int, default=None)
+    pt.add_argument("--tgt-bucket", type=int, default=None)
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("evaluate")
+    _add_common(pe)
+    pe.add_argument("--task", required=True)
+    pe.add_argument("--data", required=True)
+    pe.add_argument("--ckpt", default=None)
+    pe.add_argument("--pt", default=None, help="reference fairseq .pt checkpoint")
+    pe.add_argument("--answers-file", default=None)
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pc = sub.add_parser("convert")
+    pc.add_argument("--pt", required=True)
+    pc.add_argument("--out", required=True)
+    pc.set_defaults(fn=cmd_convert)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

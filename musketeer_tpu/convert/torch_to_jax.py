@@ -125,27 +125,42 @@ def _dec_layer(sd, prefix, cfg) -> Dict[str, Any]:
 
 
 def infer_config(sd: Dict[str, Any]) -> ModelConfig:
-    """Guess the arch preset from state-dict shapes."""
-    d = sd["encoder.embed_tokens.weight"].shape[1]
-    enc_layers = 1 + max(
-        int(m.group(1))
-        for k in sd
-        if (m := re.match(r"encoder\.layers\.(\d+)\.", k))
-    )
-    for name, preset in ARCH_PRESETS.items():
-        cfg = preset()
-        if cfg.embed_dim == d and cfg.encoder_layers == enc_layers:
-            # disambiguate resnet101 vs 152 by block count
-            n_l3 = 1 + max(
-                int(m.group(1))
-                for k in sd
-                if (m := re.match(r"encoder\.embed_images\.layer3\.(\d+)\.", k))
-            )
-            from dataclasses import replace
+    """Derive the full ModelConfig from state-dict shapes (preset-free)."""
+    from dataclasses import replace
 
-            rn = {6: (3, 4, 6), 23: (3, 4, 23), 36: (3, 8, 36)}[n_l3]
-            return replace(cfg, resnet_layers=rn)
-    raise ValueError(f"no preset matches dim={d}, layers={enc_layers}")
+    def n_layers(pat):
+        return 1 + max(
+            int(m.group(1)) for k in sd if (m := re.match(pat, k))
+        )
+
+    d = sd["encoder.embed_tokens.weight"].shape[1]
+    vocab, _ = sd["encoder.embed_tokens.weight"].shape
+    enc_layers = n_layers(r"encoder\.layers\.(\d+)\.")
+    dec_layers = n_layers(r"decoder\.layers\.(\d+)\.")
+    ffn = sd["encoder.layers.0.fc1.weight"].shape[0]
+    token_num_rel, heads = sd["encoder.token_rel_pos_table_list.0.weight"].shape
+    token_bucket = (token_num_rel + 1) // 2
+    img_rows = sd["encoder.embed_image_positions.weight"].shape[0]
+    image_bucket = int(round((img_rows - 1) ** 0.5))
+    max_src = sd["encoder.embed_positions.weight"].shape[0] - 2
+    max_tgt = sd["decoder.embed_positions.weight"].shape[0] - 2
+    n_blocks = tuple(
+        n_layers(rf"encoder\.embed_images\.layer{s}\.(\d+)\.") for s in (1, 2, 3)
+    )
+    padded = -(-vocab // 128) * 128
+    return replace(
+        ModelConfig(),
+        embed_dim=d, ffn_dim=ffn,
+        encoder_layers=enc_layers, decoder_layers=dec_layers,
+        attention_heads=heads, vocab_size=vocab, padded_vocab_size=padded,
+        token_bucket_size=token_bucket, image_bucket_size=image_bucket,
+        max_source_positions=max_src, max_target_positions=max_tgt,
+        resnet_layers=n_blocks,
+        scale_attn="encoder.layers.0.attn_ln.weight" in sd,
+        scale_fc="encoder.layers.0.ffn_layernorm.weight" in sd,
+        scale_heads="encoder.layers.0.self_attn.c_attn" in sd,
+        scale_resids="encoder.layers.0.w_resid" in sd,
+    )
 
 
 def convert_state_dict(

@@ -6,3 +6,7 @@ __all__ = [
     "polynomial_decay_schedule", "TrainState", "ema_update", "init_train_state",
     "make_optimizer", "TaskBatch", "make_train_step", "multitask_loss", "task_loss",
 ]
+from .checkpoint import (
+    CheckpointManager, export_pt, import_pt, load_checkpoint, save_checkpoint,
+)
+from .trainer import EarlyStopper, train_loop

@@ -1,0 +1,160 @@
+"""Checkpoint save/load: orbax for training state, .pt interop for the
+reference ecosystem.
+
+Replaces the reference's checkpoint_utils (ref: utils/checkpoint_utils.py:
+35-190 best-k/interval policy, trainer.py:388-432 state dict) with:
+- orbax/tensorstore sharded array checkpoints (multi-host safe, async-capable),
+- the same save policy surface: epoch / interval-updates / best-metric-k,
+- fairseq ``.pt`` export/import through convert/ for drop-in interop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .train_state import TrainState
+
+
+def _ckpt_dir(save_dir: str, name: str) -> str:
+    return os.path.join(save_dir, name)
+
+
+def save_checkpoint(
+    save_dir: str,
+    state: TrainState,
+    name: str = "checkpoint_last",
+    extra: Optional[Dict[str, Any]] = None,
+):
+    """Write a checkpoint (orbax StandardCheckpointer)."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.abspath(_ckpt_dir(save_dir, name))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, dict(
+            step=np.asarray(state.step),
+            params=state.params,
+            opt_state=state.opt_state,
+            ema_params=state.ema_params,
+        ))
+    if extra is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(extra, f)
+
+
+def load_checkpoint(
+    save_dir: str, template: TrainState, name: str = "checkpoint_last"
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore into the template's structure/shardings."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(_ckpt_dir(save_dir, name))
+    with ocp.StandardCheckpointer() as ckptr:
+        target = dict(
+            step=np.asarray(template.step),
+            params=template.params,
+            opt_state=template.opt_state,
+            ema_params=template.ema_params,
+        )
+        restored = ckptr.restore(path, target)
+    meta = {}
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    state = TrainState(
+        step=jax.numpy.asarray(restored["step"]),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        ema_params=restored["ema_params"],
+    )
+    return state, meta
+
+
+@dataclass
+class CheckpointManager:
+    """Save policy: last + epoch/interval + best-k by metric
+    (ref: utils/checkpoint_utils.py:35-190)."""
+
+    save_dir: str
+    best_checkpoint_metric: str = "score"
+    maximize_best_checkpoint_metric: bool = True
+    keep_best_checkpoints: int = -1
+    save_interval_updates: int = 0
+
+    def __post_init__(self):
+        self._best: List[Tuple[float, str]] = []
+
+    def step(
+        self,
+        state: TrainState,
+        epoch: int,
+        num_updates: int,
+        val_metric: Optional[float] = None,
+        end_of_epoch: bool = False,
+    ) -> List[str]:
+        """Decide + perform saves. Returns names written."""
+        written = []
+        extra = {
+            "epoch": epoch,
+            "num_updates": num_updates,
+            "val_metric": val_metric,
+        }
+        if end_of_epoch:
+            save_checkpoint(self.save_dir, state, f"checkpoint{epoch}", extra)
+            written.append(f"checkpoint{epoch}")
+        if (
+            self.save_interval_updates > 0
+            and num_updates % self.save_interval_updates == 0
+        ):
+            name = f"checkpoint_{epoch}_{num_updates}"
+            save_checkpoint(self.save_dir, state, name, extra)
+            written.append(name)
+        if val_metric is not None:
+            sign = 1.0 if self.maximize_best_checkpoint_metric else -1.0
+            is_best = all(sign * val_metric >= sign * v for v, _ in self._best) or not self._best
+            if is_best:
+                save_checkpoint(self.save_dir, state, "checkpoint_best", extra)
+                written.append("checkpoint_best")
+            if self.keep_best_checkpoints > 0:
+                name = f"checkpoint.best_{self.best_checkpoint_metric}_{val_metric:.4f}"
+                save_checkpoint(self.save_dir, state, name, extra)
+                written.append(name)
+                self._best.append((val_metric, name))
+                self._best.sort(key=lambda t: -sign * t[0])
+                for _, old in self._best[self.keep_best_checkpoints :]:
+                    p = _ckpt_dir(self.save_dir, old)
+                    if os.path.exists(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    if os.path.exists(p + ".meta.json"):
+                        os.remove(p + ".meta.json")
+                self._best = self._best[: self.keep_best_checkpoints]
+        save_checkpoint(self.save_dir, state, "checkpoint_last", extra)
+        written.append("checkpoint_last")
+        return written
+
+
+def export_pt(params, model_cfg, path: str):
+    """Params → fairseq-named torch .pt (consumable by the reference stack)."""
+    import torch
+
+    from ..convert import export_state_dict
+
+    torch.save({"model": export_state_dict(params, model_cfg)}, path)
+
+
+def import_pt(path: str, model_cfg=None):
+    """Reference .pt → (params, cfg)."""
+    from ..convert import load_checkpoint as _load
+
+    return _load(path, model_cfg)

@@ -1,0 +1,113 @@
+"""Training driver: epoch loop, validate-and-save, early stopping.
+
+The train.py layer of the reference (ref: train.py:56-433) collapsed around
+the single jitted step: build loader → for each epoch, scan steps → validate
+(SNLI-VE by default, matching the Musketeer quirk at musketeer_task.py:545-559)
+→ checkpoint policy → early stop on patience (ref: train.py:238-263).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import TrainConfig
+from .checkpoint import CheckpointManager
+from .train_state import TrainState
+from .train_step import make_train_step
+
+logger = logging.getLogger("musketeer_tpu")
+
+
+class EarlyStopper:
+    """ref: train.py:238-263 should_stop_early."""
+
+    def __init__(self, patience: int, maximize: bool):
+        self.patience = patience
+        self.maximize = maximize
+        self.best: Optional[float] = None
+        self.num_runs = 0
+
+    def should_stop(self, metric: Optional[float]) -> bool:
+        if metric is None or self.patience <= 0:
+            return False
+        better = (
+            self.best is None
+            or (metric > self.best if self.maximize else metric < self.best)
+        )
+        if better:
+            self.best = metric
+            self.num_runs = 0
+            return False
+        self.num_runs += 1
+        return self.num_runs >= self.patience
+
+
+def train_loop(
+    cfg: TrainConfig,
+    model_cfg,
+    state: TrainState,
+    loader,  # MusketeerDataLoader or anything with set_epoch/epoch_iterator
+    validate_fn: Optional[Callable[[TrainState], float]] = None,
+    save_dir: Optional[str] = None,
+    log_interval: int = 10,
+    max_epoch: Optional[int] = None,
+    on_metrics: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> TrainState:
+    step_fn = make_train_step(
+        model_cfg, cfg.criterion, cfg.optim, ema_decay=cfg.ema_decay, donate=True
+    )
+    stopper = EarlyStopper(cfg.patience, cfg.maximize_best_checkpoint_metric)
+    ckpt_mgr = (
+        CheckpointManager(
+            save_dir,
+            best_checkpoint_metric=cfg.best_checkpoint_metric,
+            maximize_best_checkpoint_metric=cfg.maximize_best_checkpoint_metric,
+            keep_best_checkpoints=cfg.keep_best_checkpoints,
+            save_interval_updates=cfg.save_interval_updates,
+        )
+        if save_dir
+        else None
+    )
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    max_epoch = max_epoch or cfg.max_epoch or 1
+    epoch = 1
+    while epoch <= max_epoch:
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        n_steps = 0
+        for batches in loader.epoch_iterator():
+            srng = jax.random.fold_in(rng, int(state.step))
+            state, metrics = step_fn(state, batches, srng)
+            n_steps += 1
+            num_updates = int(state.step)
+            if n_steps % log_interval == 0:
+                loss = float(metrics["loss"])
+                ups = n_steps / (time.time() - t0)
+                logger.info(
+                    "epoch %d step %d updates %d loss %.4f gnorm %.3f ups %.2f",
+                    epoch, n_steps, num_updates, loss,
+                    float(metrics["gnorm"]), ups,
+                )
+                if on_metrics is not None:
+                    on_metrics(num_updates, {k: float(v) for k, v in metrics.items()})
+            if cfg.max_update and num_updates >= cfg.max_update:
+                break
+
+        val_metric = validate_fn(state) if validate_fn is not None else None
+        if ckpt_mgr is not None:
+            ckpt_mgr.step(
+                state, epoch, int(state.step), val_metric, end_of_epoch=True
+            )
+        if stopper.should_stop(val_metric):
+            logger.info("early stop at epoch %d (patience %d)", epoch, cfg.patience)
+            break
+        if cfg.max_update and int(state.step) >= cfg.max_update:
+            break
+        epoch += 1
+    return state

@@ -1,0 +1,62 @@
+"""Checkpoint save/restore round-trip + save policy + early stopper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from musketeer_tpu.config import OptimConfig
+from musketeer_tpu.models import ofa
+from musketeer_tpu.training import (
+    CheckpointManager, EarlyStopper, init_train_state, load_checkpoint,
+    save_checkpoint,
+)
+from tests.test_model import tiny_cfg
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    optim = OptimConfig()
+    state = init_train_state(params, optim, ema_decay=0.99)
+    state = state._replace(step=jnp.int32(17))
+    save_checkpoint(str(tmp_path), state, "checkpoint_last", {"epoch": 3})
+    template = init_train_state(
+        ofa.init_ofa_params(jax.random.PRNGKey(1), cfg), optim, ema_decay=0.99
+    )
+    restored, meta = load_checkpoint(str(tmp_path), template)
+    assert int(restored.step) == 17
+    assert meta["epoch"] == 3
+    l1 = jax.tree.leaves(state.params)
+    l2 = jax.tree.leaves(restored.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_manager_best_policy(tmp_path):
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, OptimConfig())
+    mgr = CheckpointManager(str(tmp_path), keep_best_checkpoints=2)
+    w1 = mgr.step(state, 1, 10, val_metric=0.5, end_of_epoch=True)
+    assert "checkpoint_best" in w1 and "checkpoint1" in w1
+    w2 = mgr.step(state, 2, 20, val_metric=0.7, end_of_epoch=True)
+    assert "checkpoint_best" in w2
+    w3 = mgr.step(state, 3, 30, val_metric=0.4, end_of_epoch=True)
+    assert "checkpoint_best" not in w3
+    import os
+
+    kept = [
+        d for d in os.listdir(tmp_path)
+        if d.startswith("checkpoint.best") and (tmp_path / d).is_dir()
+    ]
+    assert len(kept) == 2  # 0.7 and 0.5 kept, 0.4 evicted
+
+
+def test_early_stopper():
+    s = EarlyStopper(patience=2, maximize=True)
+    assert not s.should_stop(0.5)
+    assert not s.should_stop(0.6)
+    assert not s.should_stop(0.55)  # run 1
+    assert s.should_stop(0.55)  # run 2 → stop
+    s2 = EarlyStopper(patience=-1, maximize=True)
+    assert not s2.should_stop(0.1)

@@ -1,0 +1,129 @@
+"""Task layer: eval drivers over synthetic datasets + Musketeer joint loader."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from musketeer_tpu.config import CriterionConfig, OptimConfig
+from musketeer_tpu.models import ofa
+from musketeer_tpu.tasks import (
+    CaptionTask, GlueTask, MusketeerDataLoader, RefcocoTask, SnliVeTask,
+    SubTaskSpec,
+)
+from musketeer_tpu.tokenization import default_vocab
+from musketeer_tpu.training import init_train_state, make_train_step
+from tests.test_data import fake_image_b64
+from tests.test_model import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return default_vocab()
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_cfg(vocab_size=59457, padded_vocab_size=59520)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def write_tsv(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write("\t".join(r) + "\n")
+    return str(path)
+
+
+def test_caption_eval_runs(tiny, vocab, tmp_path):
+    cfg, params = tiny
+    from musketeer_tpu.data import FileDataset
+
+    p = write_tsv(
+        tmp_path / "cap.tsv",
+        [[str(i), fake_image_b64(32, 32), f"a thing {i}&&another thing {i}"] for i in range(4)],
+    )
+    task = CaptionTask(vocab, description="base", patch_image_size=32)
+    out = task.evaluate(params, cfg, FileDataset(p), batch_size=2)
+    assert "cider" in out and out["n"] == 4
+    assert all(isinstance(v, str) for v in out["predictions"].values())
+
+
+def test_refcoco_eval_runs(tiny, vocab, tmp_path):
+    cfg, params = tiny
+    from musketeer_tpu.data import FileDataset
+
+    p = write_tsv(
+        tmp_path / "ref.tsv",
+        [[str(i), fake_image_b64(64, 48), "the region", "5.0,5.0,30.0,40.0"] for i in range(4)],
+    )
+    task = RefcocoTask(vocab, description="base", patch_image_size=32)
+    out = task.evaluate(params, cfg, FileDataset(p), batch_size=2)
+    assert 0.0 <= out["acc@0.5"] <= 1.0 and out["n"] == 4
+
+
+def test_snli_allcand_eval(tiny, vocab, tmp_path):
+    cfg, params = tiny
+    from musketeer_tpu.data import FileDataset
+
+    p = write_tsv(
+        tmp_path / "snli.tsv",
+        [[str(i), fake_image_b64(32, 32), "a dog runs", "animal moving", "entailment"]
+         for i in range(2)],
+    )
+    task = SnliVeTask(vocab, description="base", patch_image_size=32)
+    out = task.evaluate(params, cfg, FileDataset(p), batch_size=2)
+    assert out["n"] == 2 and 0 <= out["acc"] <= 1
+
+
+def test_glue_eval(tiny, vocab, tmp_path):
+    cfg, params = tiny
+    from musketeer_tpu.data import FileDataset
+
+    p = write_tsv(
+        tmp_path / "cola.tsv",
+        [["the cat sat", "1"], ["cat the sat on", "0"]] * 2,
+    )
+    task = GlueTask("cola", vocab, description="base")
+    out = task.evaluate(params, cfg, FileDataset(p), batch_size=2)
+    assert "mcc" in out and out["n"] == 4
+
+
+def test_musketeer_loader_and_train(tiny, vocab, tmp_path):
+    cfg, params = tiny
+    cap = write_tsv(
+        tmp_path / "cap.tsv",
+        [[str(i), fake_image_b64(32, 32), f"object number {i}"] for i in range(6)],
+    )
+    cola = write_tsv(
+        tmp_path / "cola.tsv", [["a sentence here", "1"] for _ in range(3)]
+    )
+    loader = MusketeerDataLoader(
+        vocab,
+        [
+            SubTaskSpec("caption", cap, batch_size=2, src_len=16, tgt_len=8,
+                        task_kwargs={"patch_image_size": 32}),
+            SubTaskSpec("cola", cola, batch_size=2, src_len=16, tgt_len=24),
+        ],
+        description="base",
+        eq_sampling=4,
+        update_freq=2,
+    )
+    # eq_sampling truncation
+    assert loader.datasets["caption"].row_count == 4
+    assert loader.datasets["cola"].row_count == 3
+    assert loader.main_len == 4
+
+    optim = OptimConfig(lr=1e-3, warmup_updates=1, total_updates=10)
+    state = init_train_state(params, optim)
+    step_fn = make_train_step(cfg, CriterionConfig(), optim, donate=False)
+    steps = 0
+    for batches in loader.epoch_iterator():
+        assert set(batches) == {"caption", "cola"}
+        assert batches["caption"].src_tokens.shape == (2, 2, 16)  # [accum, B, T]
+        state, metrics = step_fn(state, batches, jax.random.PRNGKey(steps))
+        assert np.isfinite(float(metrics["loss"]))
+        steps += 1
+    assert steps == loader.steps_per_epoch() and steps >= 1
