@@ -30,7 +30,7 @@ def main():
     from musketeer_tpu.tokenization import default_vocab
 
     v = default_vocab()
-    cfg = replace(ofa_base(), dtype="bfloat16")
+    cfg = replace(ofa_base(), dtype="bfloat16", use_flash_attention=True)
     params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
 
     B = 16  # reference eval batch size
@@ -67,7 +67,7 @@ def main():
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
                 "p50_batch_latency_ms": round(p50_latency_ms, 1),
-                "config": "ofa_base, bf16, batch=16, beam=5, max_len_b=16, 480x480",
+                "config": "ofa_base, bf16, flash-attn, batch=16, beam=5, max_len_b=16, 480x480",
             }
         )
     )

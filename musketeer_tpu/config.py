@@ -75,6 +75,10 @@ class ModelConfig:
     # compute
     dtype: str = "bfloat16"  # activation dtype under jit
     remat: bool = False  # jax.checkpoint each layer
+    # Pallas attention with decomposed positional bias (TPU; inference paths).
+    # Falls back to XLA attention when preconditions don't hold (dropout,
+    # per-sample patch subsampling, per-sample code_masks).
+    use_flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -46,6 +46,7 @@ class BeamState(NamedTuple):
     finished_scores: jnp.ndarray  # [B, K] normalized (length-penalized)
     dec_state: ofa.DecoderState  # flattened to B*K rows
     trie_nodes: Optional[jnp.ndarray]  # [B, K] int32 trie cursor (or None)
+    rng: Optional[jax.Array] = None  # sampling mode only
 
 
 def _flat(x):
@@ -138,6 +139,7 @@ def beam_search(
     prefix_tokens: Optional[jnp.ndarray] = None,  # [B, P] pad-padded
     trie: Optional[DenseTrie] = None,
     code_masks_value: bool = False,  # gen_code → decoder image positions
+    rng: Optional[jax.Array] = None,  # required when gen_cfg.sampling
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run constrained beam search. Returns (tokens [B,K,max_len+2], scores [B,K]).
 
@@ -159,16 +161,22 @@ def beam_search(
         params, cfg, enc_tiled, max_len=max_len + 1, code_masks=code_masks
     )
 
+    if gen_cfg.sampling:
+        assert rng is not None, "sampling mode needs an rng"
+        # all K chains live from step 0 (independent samples)
+        init_alive = jnp.zeros((B, K), jnp.float32)
+    else:
+        # only beam 0 live at step 0 (ref: search.py:119)
+        init_alive = jnp.zeros((B, K), jnp.float32).at[:, 1:].set(NEG_INF)
     init = BeamState(
         step=jnp.int32(0),
         alive_tokens=jnp.full((B, K, T), pad, jnp.int32).at[:, :, 0].set(bos),
-        alive_scores=jnp.zeros((B, K), jnp.float32)
-        .at[:, 1:]
-        .set(NEG_INF),  # only beam 0 live at step 0 (ref: search.py:119)
+        alive_scores=init_alive,
         finished_tokens=jnp.full((B, K, T), pad, jnp.int32),
         finished_scores=jnp.full((B, K), NEG_INF, jnp.float32),
         dec_state=dec_state,
         trie_nodes=jnp.zeros((B, K), jnp.int32) if trie is not None else None,
+        rng=rng if gen_cfg.sampling else None,
     )
 
     prefix_len = 0 if prefix_tokens is None else prefix_tokens.shape[1]
@@ -178,6 +186,57 @@ def beam_search(
         if gen_cfg.normalize_scores:
             return (step.astype(jnp.float32) + 1.0) ** gen_cfg.len_penalty
         return jnp.float32(1.0)
+
+    def _sampling_grow(s: BeamState, lprobs, new_dec, step) -> BeamState:
+        """Sampling mode: K independent chains, one sampled token per chain
+        per step (fairseq Sampling search, models/search.py:526 — used by the
+        SCST generator, criterions/scst_loss.py:139-165)."""
+        new_rng, sub = jax.random.split(s.rng)
+        filt = lprobs
+        if gen_cfg.sampling_topk > 0:
+            kth = jax.lax.top_k(filt, gen_cfg.sampling_topk)[0][:, -1:]
+            filt = jnp.where(filt < kth, NEG_INF, filt)
+        if gen_cfg.sampling_topp > 0:
+            srt = jnp.sort(filt, axis=-1)[:, ::-1]
+            cum = jnp.cumsum(jnp.exp(srt), axis=-1)
+            # smallest set with cumulative prob >= topp
+            cutoff_idx = jnp.argmax(cum >= gen_cfg.sampling_topp, axis=-1)
+            cutoff = jnp.take_along_axis(srt, cutoff_idx[:, None], axis=-1)
+            filt = jnp.where(filt < cutoff, NEG_INF, filt)
+        sampled = jax.random.categorical(sub, filt, axis=-1)  # [B*K]
+        tok_lp = jnp.take_along_axis(lprobs, sampled[:, None], axis=1)[:, 0]
+        sampled = _unflat(sampled, B, K).astype(jnp.int32)
+        tok_lp = _unflat(tok_lp, B, K)
+
+        dead = s.alive_scores <= NEG_INF / 2
+        new_scores = jnp.where(dead, NEG_INF, s.alive_scores + tok_lp)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            s.alive_tokens, sampled, step + 1, axis=2
+        )
+        is_eos = jnp.logical_and(sampled == eos, jnp.logical_not(dead))
+        fin_scores_new = jnp.where(is_eos, new_scores / length_norm(step), NEG_INF)
+        fin_scores_all = jnp.concatenate([s.finished_scores, fin_scores_new], axis=1)
+        fin_tokens_all = jnp.concatenate([s.finished_tokens, tokens], axis=1)
+        fin_top_scores, fin_top_idx = jax.lax.top_k(fin_scores_all, K)
+        fin_tokens = _gather_beams(fin_tokens_all, fin_top_idx)
+        alive_scores = jnp.where(is_eos, NEG_INF, new_scores)
+
+        if trie is not None:
+            nodes = trie.transition(_flat(s.trie_nodes), _flat(sampled))
+            nodes = jnp.where(step >= prefix_len, nodes, _flat(s.trie_nodes))
+            trie_nodes = _unflat(nodes, B, K)
+        else:
+            trie_nodes = None
+        return BeamState(
+            step=step + 1,
+            alive_tokens=tokens,
+            alive_scores=alive_scores,
+            finished_tokens=fin_tokens,
+            finished_scores=fin_top_scores,
+            dec_state=new_dec,  # chains keep their own rows; no reorder
+            trie_nodes=trie_nodes,
+            rng=new_rng,
+        )
 
     def cond(s: BeamState):
         not_done = s.step <= max_len
@@ -270,6 +329,9 @@ def beam_search(
                 lprobs, _flat(s.alive_tokens), step, gen_cfg.no_repeat_ngram_size
             )
             lprobs = jnp.where(can_block, blocked, lprobs)
+
+        if gen_cfg.sampling:
+            return _sampling_grow(s, lprobs, new_dec, step)
 
         # ---- grow: top-2K candidates per sentence over K*V scores
         cand_scores = _unflat(lprobs, B, K) + s.alive_scores[:, :, None]  # [B,K,V]

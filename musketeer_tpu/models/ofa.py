@@ -218,6 +218,73 @@ def init_ofa_params(key: jax.Array, cfg: ModelConfig) -> Params:
 # attention
 # ---------------------------------------------------------------------------
 
+def _pos_proj(lin: Params, pos_embed: jnp.ndarray, cfg: ModelConfig, scale_q: bool, dtype):
+    """LN'd positional embeds → per-head projections [B, H, T, hd] for the
+    in-kernel abs-pos bias product (replaces materializing [B,H,T,T])."""
+    B, T, _ = pos_embed.shape
+    H = cfg.attention_heads
+    x = pos_embed.astype(jnp.float32) @ lin["w"] + lin["b"]
+    x = x.reshape(B, T, H, -1).transpose(0, 2, 1, 3)
+    if scale_q:
+        x = x * float(cfg.embed_dim / H * cfg.attn_scale_factor) ** -0.5
+    return x.astype(dtype)
+
+
+def _flash_self_attn(
+    p: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # [B, T, d] (post-LN)
+    pos_q: jnp.ndarray,  # [B, H, T, hd]
+    pos_k: jnp.ndarray,
+    rel: jnp.ndarray,  # [H, T, T]
+    kpad: jnp.ndarray,  # [B, T]
+    causal: bool,
+) -> jnp.ndarray:
+    from ..ops.flash_attention import flash_attention_bias
+
+    H = cfg.attention_heads
+    scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
+    q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
+    k = _split_heads(_linear(p["k_proj"], x), H)
+    v = _split_heads(_linear(p["v_proj"], x), H)
+    out = flash_attention_bias(
+        q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
+        rel.astype(q.dtype), kpad, causal=causal,
+    )
+    out = _merge_heads(out)
+    if "c_attn" in p:
+        b, t, _ = out.shape
+        out = (
+            out.reshape(b, t, H, cfg.head_dim)
+            * p["c_attn"].astype(out.dtype)[None, None, :, None]
+        ).reshape(b, t, -1)
+    return _linear(p["out_proj"], out)
+
+
+def _flash_cross_attn(
+    p: Params, cfg: ModelConfig, x: jnp.ndarray, enc_x: jnp.ndarray,
+    pos_q: jnp.ndarray, pos_k: jnp.ndarray, kpad: jnp.ndarray,
+) -> jnp.ndarray:
+    from ..ops.flash_attention import flash_cross_attention
+
+    H = cfg.attention_heads
+    scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
+    q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
+    k = _split_heads(_linear(p["k_proj"], enc_x), H)
+    v = _split_heads(_linear(p["v_proj"], enc_x), H)
+    out = flash_cross_attention(
+        q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype), kpad
+    )
+    out = _merge_heads(out)
+    if "c_attn" in p:
+        b, t, _ = out.shape
+        out = (
+            out.reshape(b, t, H, cfg.head_dim)
+            * p["c_attn"].astype(out.dtype)[None, None, :, None]
+        ).reshape(b, t, -1)
+    return _linear(p["out_proj"], out)
+
+
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     b, t, d = x.shape
     return x.reshape(b, t, heads, d // heads).transpose(0, 2, 1, 3)
@@ -306,10 +373,11 @@ def _encoder_layer(
     p: Params,
     cfg: ModelConfig,
     x: jnp.ndarray,
-    bias: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
     padding_mask: jnp.ndarray,
     rngs=None,
     deterministic: bool = True,
+    flash: Optional[Tuple] = None,  # (pos_q, pos_k, rel) → pallas kernel path
 ) -> jnp.ndarray:
     """Pre-LN encoder block (ref: unify_transformer_layer.py:110-293)."""
     def dr(i):
@@ -317,10 +385,16 @@ def _encoder_layer(
 
     residual = x
     h = _layer_norm(p["self_attn_layer_norm"], x)
-    h = attention(
-        p["self_attn"], cfg, h, h, h, bias, padding_mask,
-        dropout_rate=cfg.attention_dropout, rng=dr(0), deterministic=deterministic,
-    )
+    if flash is not None:
+        pos_q, pos_k, rel = flash
+        h = _flash_self_attn(
+            p["self_attn"], cfg, h, pos_q, pos_k, rel, padding_mask, causal=False
+        )
+    else:
+        h = attention(
+            p["self_attn"], cfg, h, h, h, bias, padding_mask,
+            dropout_rate=cfg.attention_dropout, rng=dr(0), deterministic=deterministic,
+        )
     if "attn_ln" in p:
         h = _layer_norm(p["attn_ln"], h)
     h = _dropout(h, cfg.dropout, dr(1), deterministic)
@@ -413,9 +487,11 @@ def encode(
     # zero out padded embeddings (ref: unify_transformer.py:894)
     x = x * (1.0 - padding_mask[:, :, None].astype(x.dtype))
 
-    # ---- attention biases
-    abs_bias = _abs_pos_bias(enc["pos_q_linear"], enc["pos_k_linear"], pos_for_bias, cfg)
     S = x.shape[1]
+    # Pallas path preconditions: eval-mode, batch-invariant relative bias
+    use_flash = (
+        cfg.use_flash_attention and deterministic and sample_patch_order is None
+    )
 
     # text rel bias indices [T, T]; image rel bias indices [B, N, N]
     token_rp = jnp.asarray(
@@ -425,28 +501,62 @@ def encode(
         image_rp_full = jnp.asarray(
             pos_lib.make_image_bucket_position(cfg.image_bucket_size, cfg.image_num_rel_dis)
         )
-        # gather per-sample buckets: [B, N, N]
-        image_rp = image_rp_full[image_pos_ids[:, :, None], image_pos_ids[:, None, :]]
+        if use_flash:
+            ids0 = image_pos_ids[0]  # batch-invariant without subsampling
+            image_rp = image_rp_full[ids0[:, None], ids0[None, :]]  # [N, N]
+        else:
+            # gather per-sample buckets: [B, N, N]
+            image_rp = image_rp_full[
+                image_pos_ids[:, :, None], image_pos_ids[:, None, :]
+            ]
 
-    def layer_body(x, layer_in):
-        layer_p, token_table, image_table = layer_in
-        rel_text = token_table[token_rp]  # [T, T, H]
-        bias = abs_bias
-        # add text rel bias to the bottom-right [T, T] block
-        bias = bias.at[:, :, S - T :, S - T :].add(
-            rel_text.transpose(2, 0, 1)[None].astype(bias.dtype)
-        )
-        if N:
-            rel_img = image_table[image_rp]  # [B, N, N, H]
-            bias = bias.at[:, :, :N, :N].add(
-                rel_img.transpose(0, 3, 1, 2).astype(bias.dtype)
+    if use_flash:
+        pos_q = _pos_proj(enc["pos_q_linear"], pos_for_bias, cfg, True, dtype)
+        pos_k = _pos_proj(enc["pos_k_linear"], pos_for_bias, cfg, False, dtype)
+        H = cfg.attention_heads
+
+        def layer_body(x, layer_in):
+            layer_p, token_table, image_table = layer_in
+            rel = jnp.zeros((H, S, S), jnp.float32)
+            rel = rel.at[:, S - T :, S - T :].set(
+                token_table[token_rp].transpose(2, 0, 1)
             )
-        fwd = lambda xx: _encoder_layer(
-            layer_p, cfg, xx, bias, padding_mask, rngs=rngs, deterministic=deterministic
+            if N:
+                rel = rel.at[:, :N, :N].set(
+                    image_table[image_rp].transpose(2, 0, 1)
+                )
+            return (
+                _encoder_layer(
+                    layer_p, cfg, x, None, padding_mask,
+                    deterministic=True, flash=(pos_q, pos_k, rel),
+                ),
+                None,
+            )
+    else:
+        abs_bias = _abs_pos_bias(
+            enc["pos_q_linear"], enc["pos_k_linear"], pos_for_bias, cfg
         )
-        if cfg.remat:
-            fwd = jax.checkpoint(fwd)
-        return fwd(x), None
+
+        def layer_body(x, layer_in):
+            layer_p, token_table, image_table = layer_in
+            rel_text = token_table[token_rp]  # [T, T, H]
+            bias = abs_bias
+            # add text rel bias to the bottom-right [T, T] block
+            bias = bias.at[:, :, S - T :, S - T :].add(
+                rel_text.transpose(2, 0, 1)[None].astype(bias.dtype)
+            )
+            if N:
+                rel_img = image_table[image_rp]  # [B, N, N, H]
+                bias = bias.at[:, :, :N, :N].add(
+                    rel_img.transpose(0, 3, 1, 2).astype(bias.dtype)
+                )
+            fwd = lambda xx: _encoder_layer(
+                layer_p, cfg, xx, bias, padding_mask,
+                rngs=rngs, deterministic=deterministic,
+            )
+            if cfg.remat:
+                fwd = jax.checkpoint(fwd)
+            return fwd(x), None
 
     xs = (
         enc["layers"],
@@ -584,6 +694,7 @@ def _decoder_layer(
     cache_index: Optional[jnp.ndarray] = None,
     rngs=None,
     deterministic=True,
+    flash: Optional[Tuple] = None,  # (pos_q, pos_k, rel, cross_pos_q, cross_pos_k)
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Pre-LN decoder block (ref: unify_transformer_layer.py:296-615).
 
@@ -599,7 +710,14 @@ def _decoder_layer(
     residual = x
     h = _layer_norm(p["self_attn_layer_norm"], x)
     new_cache = None
-    if cache is None:
+    if flash is not None:
+        pos_q, pos_k, rel, cross_pos_q, cross_pos_k = flash
+        h = _flash_self_attn(
+            p["self_attn"], cfg, h, pos_q, pos_k, rel,
+            self_pad if self_pad is not None else jnp.zeros(h.shape[:2], bool),
+            causal=True,
+        )
+    elif cache is None:
         h = attention(
             p["self_attn"], cfg, h, h, h, self_bias, self_pad,
             causal_offset=causal_offset,
@@ -640,7 +758,11 @@ def _decoder_layer(
     # cross attention
     residual = x
     h = _layer_norm(p["encoder_attn_layer_norm"], x)
-    if cache is None:
+    if flash is not None:
+        h = _flash_cross_attn(
+            p["encoder_attn"], cfg, h, enc_x, cross_pos_q, cross_pos_k, enc_pad
+        )
+    elif cache is None:
         h = attention(
             p["encoder_attn"], cfg, h, enc_x, enc_x, cross_bias, enc_pad,
             dropout_rate=cfg.attention_dropout, rng=dr(2), deterministic=deterministic,
@@ -701,14 +823,9 @@ def decode(
     dtype = jnp.dtype(cfg.dtype)
     dec = params["decoder"]
 
-    tgt_pos_embed, self_bias, cross_bias = _decoder_pos_setup(
-        params, cfg, B, T, encoder_out.pos_embed, code_masks, dtype
+    use_flash = (
+        cfg.use_flash_attention and deterministic and code_masks is None
     )
-    x = _decoder_embed(
-        params, cfg, prev_output_tokens, tgt_pos_embed, code_masks, dtype,
-        rngs=rngs, deterministic=deterministic,
-    )
-    rel_tok, rel_img = _decoder_rel_bias(params, cfg, T, code_masks)
 
     self_pad = prev_output_tokens == cfg.pad
     # fairseq only applies self-attn padding mask when pads exist; padded
@@ -718,27 +835,65 @@ def decode(
     enc_x = encoder_out.x.astype(dtype)
     enc_pad = encoder_out.padding_mask
 
-    def layer_body(x, layer_in):
-        if code_masks is None:
-            layer_p, rt = layer_in
-            rel = rt[None]
-        else:
-            layer_p, rt, ri = layer_in
-            rel = jnp.where(code_masks[:, None, None, None], ri[None], rt[None])
-        bias = self_bias + rel.astype(self_bias.dtype)
-        fwd = lambda xx: _decoder_layer(
-            layer_p, cfg, xx, bias, cross_bias, enc_x, enc_pad, self_pad,
-            causal_offset=0, rngs=rngs, deterministic=deterministic,
-        )[0]
-        if cfg.remat:
-            fwd = jax.checkpoint(fwd)
-        return fwd(x), None
+    if use_flash:
+        tok_pos = dec["embed_positions"][jnp.arange(T)][None]
+        tgt_pos_embed = jnp.broadcast_to(tok_pos, (B, T, cfg.embed_dim))
+        pe = _layer_norm(dec["pos_ln"], tgt_pos_embed.astype(dtype))
+        pos_q = _pos_proj(dec["self_pos_q_linear"], pe, cfg, True, dtype)
+        pos_k = _pos_proj(dec["self_pos_k_linear"], pe, cfg, False, dtype)
+        cross_pos_q = _pos_proj(dec["cross_pos_q_linear"], pe, cfg, True, dtype)
+        cross_pos_k = _pos_proj(
+            dec["cross_pos_k_linear"], encoder_out.pos_embed, cfg, False, dtype
+        )
+        x = _decoder_embed(
+            params, cfg, prev_output_tokens, tgt_pos_embed, None, dtype,
+            rngs=rngs, deterministic=deterministic,
+        )
+        rel_tok, _ = _decoder_rel_bias(params, cfg, T, None)
 
-    xs = (
-        (dec["layers"], rel_tok)
-        if code_masks is None
-        else (dec["layers"], rel_tok, rel_img)
-    )
+        def layer_body(x, layer_in):
+            layer_p, rt = layer_in
+            return (
+                _decoder_layer(
+                    layer_p, cfg, x, None, None, enc_x, enc_pad, self_pad,
+                    causal_offset=None, deterministic=True,
+                    flash=(pos_q, pos_k, rt.astype(jnp.float32), cross_pos_q, cross_pos_k),
+                )[0],
+                None,
+            )
+
+        xs = (dec["layers"], rel_tok)
+    else:
+        tgt_pos_embed, self_bias, cross_bias = _decoder_pos_setup(
+            params, cfg, B, T, encoder_out.pos_embed, code_masks, dtype
+        )
+        x = _decoder_embed(
+            params, cfg, prev_output_tokens, tgt_pos_embed, code_masks, dtype,
+            rngs=rngs, deterministic=deterministic,
+        )
+        rel_tok, rel_img = _decoder_rel_bias(params, cfg, T, code_masks)
+
+        def layer_body(x, layer_in):
+            if code_masks is None:
+                layer_p, rt = layer_in
+                rel = rt[None]
+            else:
+                layer_p, rt, ri = layer_in
+                rel = jnp.where(code_masks[:, None, None, None], ri[None], rt[None])
+            bias = self_bias + rel.astype(self_bias.dtype)
+            fwd = lambda xx: _decoder_layer(
+                layer_p, cfg, xx, bias, cross_bias, enc_x, enc_pad, self_pad,
+                causal_offset=0, rngs=rngs, deterministic=deterministic,
+            )[0]
+            if cfg.remat:
+                fwd = jax.checkpoint(fwd)
+            return fwd(x), None
+
+        xs = (
+            (dec["layers"], rel_tok)
+            if code_masks is None
+            else (dec["layers"], rel_tok, rel_img)
+        )
     x, _ = jax.lax.scan(layer_body, x, xs)
     x = _layer_norm(dec["layer_norm"], x)
     if features_only:

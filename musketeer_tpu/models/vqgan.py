@@ -1,0 +1,192 @@
+"""VQGAN decoder (frozen) in functional JAX — image detokenizer.
+
+The reference vendors taming-transformers' VQModel/GumbelVQ and only ever
+calls ``decode_code(code_b)`` at inference (ref: models/taming/models/
+vqgan.py:65-69, 207-211; used by tasks/mm_tasks/image_gen.py:347-364 and
+criterions/clip_scst_loss.py:109-140). This is a fresh functional
+implementation of exactly that path: codebook lookup → post-quant conv →
+conv decoder (mid resnet+attn, upsampling stages, GroupNorm/swish), with a
+converter from taming state-dict names. Weights user-supplied (zero egress).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class VQGANConfig:
+    # taming f=8 / 8192-codebook (OFA image-gen default: 128² image, 16² codes
+    # per image... code_image_size//8 grid, ref image_gen_dataset.py)
+    codebook_size: int = 8192
+    embed_dim: int = 256
+    z_channels: int = 256
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = (32,)
+    resolution: int = 256
+    out_ch: int = 3
+
+
+def _group_norm(p, x, groups=32, eps=1e-6):
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
+    mu = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = xf.var(axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(B, H, W, C)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _conv(p, x, stride=1):
+    kh = p["w"].shape[0]
+    pad = (kh - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride),
+        [(pad, pad), (pad, pad)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["b"].astype(x.dtype)
+
+
+def _resnet_block(p, x):
+    h = _conv(p["conv1"], _swish(_group_norm(p["norm1"], x)))
+    h = _conv(p["conv2"], _swish(_group_norm(p["norm2"], h)))
+    if "nin_shortcut" in p:
+        x = _conv(p["nin_shortcut"], x)
+    return x + h
+
+
+def _attn_block(p, x):
+    B, H, W, C = x.shape
+    h = _group_norm(p["norm"], x)
+    q = _conv(p["q"], h).reshape(B, H * W, C)
+    k = _conv(p["k"], h).reshape(B, H * W, C)
+    v = _conv(p["v"], h).reshape(B, H * W, C)
+    w = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(w * (C**-0.5), axis=-1).astype(x.dtype)
+    h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
+    return x + _conv(p["proj_out"], h)
+
+
+def _upsample(p, x):
+    B, H, W, C = x.shape
+    x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
+    return _conv(p["conv"], x)
+
+
+def decode_code(params: Params, cfg: VQGANConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """codes [B, h, w] int32 (0..codebook_size) → images [B, H, W, 3] in [-1, 1].
+
+    ref: vqgan.py decode_code → quantize.embed_code + decoder forward.
+    """
+    z = params["codebook"].astype(jnp.float32)[codes]  # [B, h, w, embed_dim]
+    z = _conv(params["post_quant_conv"], z)
+    h = _conv(params["conv_in"], z)
+    h = _resnet_block(params["mid_block_1"], h)
+    h = _attn_block(params["mid_attn"], h)
+    h = _resnet_block(params["mid_block_2"], h)
+    n_res = len(cfg.ch_mult)
+    for i_level in reversed(range(n_res)):
+        up = params["up"][i_level]
+        for i_block in range(cfg.num_res_blocks + 1):
+            h = _resnet_block(
+                jax.tree.map(lambda a: a, up["blocks"][i_block]), h
+            )
+            if up.get("attn") is not None:
+                h = _attn_block(up["attn"][i_block], h)
+        if i_level != 0:
+            h = _upsample(up["upsample"], h)
+    return _conv(params["conv_out"], _swish(_group_norm(params["norm_out"], h)))
+
+
+def codes_to_images_uint8(params, cfg, codes) -> jnp.ndarray:
+    """decode + clamp to uint8 RGB (ref: image_gen.py:354-364 post-processing)."""
+    x = decode_code(params, cfg, codes)
+    x = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    return (x * 255.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# converter from taming-transformers state dict
+# ---------------------------------------------------------------------------
+
+def convert_vqgan_state_dict(sd, gumbel: bool = False) -> tuple[Params, VQGANConfig]:
+    def t(x):
+        return np.asarray(x.detach().cpu().float().numpy())
+
+    def conv(name):
+        return {"w": t(sd[f"{name}.weight"]).transpose(2, 3, 1, 0), "b": t(sd[f"{name}.bias"])}
+
+    def gn(name):
+        return {"scale": t(sd[f"{name}.weight"]), "bias": t(sd[f"{name}.bias"])}
+
+    def res(prefix):
+        p = {
+            "norm1": gn(f"{prefix}.norm1"), "conv1": conv(f"{prefix}.conv1"),
+            "norm2": gn(f"{prefix}.norm2"), "conv2": conv(f"{prefix}.conv2"),
+        }
+        if f"{prefix}.nin_shortcut.weight" in sd:
+            p["nin_shortcut"] = conv(f"{prefix}.nin_shortcut")
+        return p
+
+    def attn(prefix):
+        return {
+            "norm": gn(f"{prefix}.norm"), "q": conv(f"{prefix}.q"),
+            "k": conv(f"{prefix}.k"), "v": conv(f"{prefix}.v"),
+            "proj_out": conv(f"{prefix}.proj_out"),
+        }
+
+    codebook_key = (
+        "quantize.embed.weight" if gumbel else "quantize.embedding.weight"
+    )
+    codebook = t(sd[codebook_key])
+    n_levels = 1 + max(
+        int(k.split(".")[2]) for k in sd if k.startswith("decoder.up.")
+    )
+    num_res_blocks = max(
+        int(k.split(".")[4]) for k in sd if k.startswith("decoder.up.0.block.")
+    )
+    up = []
+    for i in range(n_levels):
+        blocks = [
+            res(f"decoder.up.{i}.block.{j}") for j in range(num_res_blocks + 1)
+        ]
+        entry: Dict[str, Any] = {"blocks": blocks, "attn": None}
+        if f"decoder.up.{i}.attn.0.norm.weight" in sd:
+            entry["attn"] = [
+                attn(f"decoder.up.{i}.attn.{j}") for j in range(num_res_blocks + 1)
+            ]
+        if f"decoder.up.{i}.upsample.conv.weight" in sd:
+            entry["upsample"] = {"conv": conv(f"decoder.up.{i}.upsample.conv")}
+        up.append(entry)
+
+    params: Params = {
+        "codebook": codebook,
+        "post_quant_conv": conv("post_quant_conv"),
+        "conv_in": conv("decoder.conv_in"),
+        "mid_block_1": res("decoder.mid.block_1"),
+        "mid_attn": attn("decoder.mid.attn_1"),
+        "mid_block_2": res("decoder.mid.block_2"),
+        "up": up,
+        "norm_out": gn("decoder.norm_out"),
+        "conv_out": conv("decoder.conv_out"),
+    }
+    cfg = VQGANConfig(
+        codebook_size=codebook.shape[0],
+        embed_dim=codebook.shape[1],
+        num_res_blocks=num_res_blocks,
+        ch_mult=tuple([1] * n_levels),  # exact mults recoverable from shapes
+    )
+    return params, cfg

@@ -11,3 +11,6 @@ __all__ = [
     "GigawordTask", "GlueTask", "ImageClassifyTask", "RefcocoTask",
     "SnliVeTask", "VqaTask",
 ]
+from .image_gen import ImageGenTask
+from .tasks import TASK_REGISTRY as _TR
+_TR["image_gen"] = ImageGenTask

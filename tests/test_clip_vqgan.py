@@ -1,0 +1,223 @@
+"""CLIP / VQGAN parity vs minimal torch implementations of the public
+architectures (test fixtures; verify both the converter and the forward)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+class _QuickGELU(nn.Module):
+    def forward(self, x):
+        return x * torch.sigmoid(1.702 * x)
+
+
+class _ClipBlock(nn.Module):
+    def __init__(self, d, h):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(d, h)
+        self.ln_1 = nn.LayerNorm(d)
+        self.mlp = nn.Sequential()
+        self.mlp.c_fc = nn.Linear(d, d * 4)
+        self.mlp.gelu = _QuickGELU()
+        self.mlp.c_proj = nn.Linear(d * 4, d)
+        self.ln_2 = nn.LayerNorm(d)
+
+    def forward(self, x, mask=None):
+        y = self.ln_1(x)
+        y = self.attn(y, y, y, need_weights=False, attn_mask=mask)[0]
+        x = x + y
+        return x + self.mlp.c_proj(self.mlp.gelu(self.mlp.c_fc(self.ln_2(x))))
+
+
+def test_clip_matches_torch():
+    torch.manual_seed(0)
+    d, h, L, patch, res, emb = 64, 4, 2, 8, 32, 32
+    tw, tl, th, ctx, vs = 48, 2, 4, 16, 100
+
+    class CLIP(nn.Module):
+        def __init__(self):
+            super().__init__()
+
+            class V(nn.Module):
+                pass
+
+            self.visual = V()
+            self.visual.conv1 = nn.Conv2d(3, d, patch, patch, bias=False)
+            self.visual.class_embedding = nn.Parameter(torch.randn(d) * 0.02)
+            self.visual.positional_embedding = nn.Parameter(
+                torch.randn((res // patch) ** 2 + 1, d) * 0.02
+            )
+            self.visual.ln_pre = nn.LayerNorm(d)
+            self.visual.transformer = nn.Module()
+            self.visual.transformer.resblocks = nn.ModuleList(
+                [_ClipBlock(d, h) for _ in range(L)]
+            )
+            self.visual.ln_post = nn.LayerNorm(d)
+            self.visual.proj = nn.Parameter(torch.randn(d, emb) * 0.02)
+            self.token_embedding = nn.Embedding(vs, tw)
+            self.positional_embedding = nn.Parameter(torch.randn(ctx, tw) * 0.02)
+            self.transformer = nn.Module()
+            self.transformer.resblocks = nn.ModuleList(
+                [_ClipBlock(tw, th) for _ in range(tl)]
+            )
+            self.ln_final = nn.LayerNorm(tw)
+            self.text_projection = nn.Parameter(torch.randn(tw, emb) * 0.02)
+            self.logit_scale = nn.Parameter(torch.tensor(2.6593))
+
+        def encode_image(self, im):
+            x = self.visual.conv1(im).flatten(2).permute(0, 2, 1)
+            cls = self.visual.class_embedding[None, None].expand(x.shape[0], 1, -1)
+            x = torch.cat([cls, x], 1) + self.visual.positional_embedding
+            x = self.visual.ln_pre(x).permute(1, 0, 2)
+            for b in self.visual.transformer.resblocks:
+                x = b(x)
+            x = x.permute(1, 0, 2)
+            return self.visual.ln_post(x[:, 0]) @ self.visual.proj
+
+        def encode_text(self, toks):
+            x = self.token_embedding(toks) + self.positional_embedding[: toks.shape[1]]
+            T = toks.shape[1]
+            mask = torch.full((T, T), float("-inf")).triu(1)
+            x = x.permute(1, 0, 2)
+            for b in self.transformer.resblocks:
+                x = b(x, mask)
+            x = x.permute(1, 0, 2)
+            x = self.ln_final(x)
+            x = x[torch.arange(x.shape[0]), toks.argmax(-1)]
+            return x @ self.text_projection
+
+    from dataclasses import replace
+
+    from musketeer_tpu.models.clip import (
+        convert_clip_state_dict, encode_image, encode_text,
+    )
+
+    m = CLIP().eval()
+    params, cfg = convert_clip_state_dict(m.state_dict())
+    cfg = replace(cfg, vision_heads=h, transformer_heads=th)
+    im = torch.randn(2, 3, res, res)
+    toks = torch.randint(1, vs - 1, (3, ctx))
+    toks[:, -1] = vs - 1
+    with torch.no_grad():
+        ie_ref = m.encode_image(im).numpy()
+        te_ref = m.encode_text(toks).numpy()
+    ie = np.asarray(encode_image(params, cfg, jnp.asarray(im.numpy().transpose(0, 2, 3, 1))))
+    te = np.asarray(encode_text(params, cfg, jnp.asarray(toks.numpy())))
+    np.testing.assert_allclose(ie, ie_ref, atol=1e-4)
+    np.testing.assert_allclose(te, te_ref, atol=1e-4)
+
+
+def _gn(c):
+    return nn.GroupNorm(32, c, eps=1e-6, affine=True)
+
+
+def _sw(x):
+    return x * torch.sigmoid(x)
+
+
+class _Res(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = _gn(cin)
+        self.conv1 = nn.Conv2d(cin, cout, 3, 1, 1)
+        self.norm2 = _gn(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1)
+        self.nin_shortcut = nn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x):
+        h = self.conv1(_sw(self.norm1(x)))
+        h = self.conv2(_sw(self.norm2(h)))
+        if self.nin_shortcut is not None:
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class _Attn(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = _gn(c)
+        self.q, self.k, self.v = (nn.Conv2d(c, c, 1) for _ in range(3))
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        h = self.norm(x)
+        q, k, v = self.q(h), self.k(h), self.v(h)
+        B, C, H, W = q.shape
+        q = q.reshape(B, C, H * W).permute(0, 2, 1)
+        k = k.reshape(B, C, H * W)
+        v = v.reshape(B, C, H * W)
+        w = torch.softmax(torch.bmm(q, k) * (C**-0.5), dim=2)
+        h = torch.bmm(v, w.permute(0, 2, 1)).reshape(B, C, H, W)
+        return x + self.proj_out(h)
+
+
+def test_vqgan_decode_matches_torch():
+    torch.manual_seed(0)
+    zc, ch = 64, 32
+
+    class Up(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, 1, 1)
+
+        def forward(self, x):
+            return self.conv(
+                torch.nn.functional.interpolate(x, scale_factor=2.0, mode="nearest")
+            )
+
+    class Dec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = nn.Conv2d(zc, ch * 2, 3, 1, 1)
+            self.mid = nn.Module()
+            self.mid.block_1 = _Res(ch * 2, ch * 2)
+            self.mid.attn_1 = _Attn(ch * 2)
+            self.mid.block_2 = _Res(ch * 2, ch * 2)
+            self.up = nn.ModuleList()
+            up0 = nn.Module()
+            up0.block = nn.ModuleList([_Res(ch, ch), _Res(ch, ch)])
+            up1 = nn.Module()
+            up1.block = nn.ModuleList([_Res(ch * 2, ch), _Res(ch, ch)])
+            up1.upsample = Up(ch)
+            self.up.append(up0)
+            self.up.append(up1)
+            self.norm_out = _gn(ch)
+            self.conv_out = nn.Conv2d(ch, 3, 3, 1, 1)
+
+        def forward(self, z):
+            h = self.conv_in(z)
+            h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+            for i in reversed(range(2)):
+                for b in self.up[i].block:
+                    h = b(h)
+                if i != 0:
+                    h = self.up[i].upsample(h)
+            return self.conv_out(_sw(self.norm_out(h)))
+
+    class VQ(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.quantize = nn.Module()
+            self.quantize.embedding = nn.Embedding(50, zc)
+            self.post_quant_conv = nn.Conv2d(zc, zc, 1)
+            self.decoder = Dec()
+
+        def decode_code(self, codes):
+            z = self.quantize.embedding(codes).permute(0, 3, 1, 2)
+            return self.decoder(self.post_quant_conv(z))
+
+    from musketeer_tpu.models.vqgan import convert_vqgan_state_dict, decode_code
+
+    m = VQ().eval()
+    codes = torch.randint(0, 50, (2, 4, 4))
+    with torch.no_grad():
+        ref = m.decode_code(codes).numpy()
+    params, cfg = convert_vqgan_state_dict(m.state_dict())
+    out = np.asarray(decode_code(params, cfg, jnp.asarray(codes.numpy())))
+    out = out.transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ref, out, atol=1e-4)
