@@ -48,6 +48,7 @@ def label_smoothed_ce(
     ignore_eos: bool = False,
     eos_id: int = 2,
     vocab_size: Optional[int] = None,  # real vocab (< V when layout-padded)
+    encouraging_log_end: Optional[float] = None,  # enables encouraging loss
 ) -> CELossOut:
     B, T, V = logits.shape
     Vr = vocab_size if vocab_size is not None else V
@@ -122,6 +123,25 @@ def label_smoothed_ce(
     ntokens = jnp.sum(weights).astype(jnp.float32)
     loss = jnp.sum(loss_per_pos * weights)
     nll_loss = jnp.sum(nll * weights)
+
+    if encouraging_log_end is not None:
+        # encouraging-loss bonus: log(1-p), linearized above log_end
+        # (ref: criterions/label_smoothed_encouraging_loss.py:297-314)
+        le = encouraging_log_end
+        probs = jnp.exp(lp)
+        bonus = jnp.log(jnp.clip(1.0 - probs, 1e-5, None))
+        if le != 1.0:
+            y_le = jnp.log(1.0 - le)
+            bonus_lin = (probs - le) / (le - 1.0) + y_le
+            bonus = jnp.where(probs > le, bonus_lin, bonus)
+        tgt_bonus = jnp.take_along_axis(bonus, tgt[:, None], axis=1)[:, 0]
+        c_nll = jnp.sum(-tgt_bonus * weights)
+        # smoothing over the real-vocab support
+        real = jnp.arange(V) < Vr
+        c_smooth = jnp.sum(
+            jnp.sum(jnp.where(real[None, :], bonus, 0.0), axis=-1) * weights
+        )
+        loss = loss + c_nll * (1.0 - epsilon) + (epsilon / V) * c_smooth
 
     if use_rdrop:
         halfB = B // 2

@@ -10,3 +10,5 @@ __all__ = [
     "ImageClassifyBuilder", "ImageGenBuilder", "RefcocoBuilder", "SnliVeBuilder",
     "VqaBuilder", "collate", "parse_ref_dict", "pre_caption", "pre_question",
 ]
+from .detection import DetectionBuilder
+from .pretrain import ImageTextPairBuilder, TextInfillingBuilder

@@ -56,19 +56,35 @@ class FileDataset:
             idx_path
         ) >= os.path.getmtime(self.file_path):
             return np.load(idx_path)
-        offsets: List[int] = []
-        pos = 0
-        with open(self.file_path, "rb") as f:
-            for line in f:
-                offsets.append(pos)
-                pos += len(line)
-        arr = np.asarray(offsets, np.int64)
+        arr = self._native_index()
+        if arr is None:
+            offsets: List[int] = []
+            pos = 0
+            with open(self.file_path, "rb") as f:
+                for line in f:
+                    offsets.append(pos)
+                    pos += len(line)
+            arr = np.asarray(offsets, np.int64)
         if cached:
             try:
                 np.save(idx_path, arr)
             except OSError:
                 pass  # read-only data dir; index rebuilt next time
         return arr
+
+    def _native_index(self) -> Optional[np.ndarray]:
+        """mmap newline scan via the C++ library (~20x the Python pass)."""
+        try:
+            from ..native import NativeTsv, available
+
+            if not available():
+                return None
+            nt = NativeTsv(self.file_path)
+            offsets = nt.offsets()
+            nt.close()
+            return offsets
+        except Exception:
+            return None
 
     def __len__(self) -> int:
         return self.row_count

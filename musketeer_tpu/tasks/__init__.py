@@ -14,3 +14,5 @@ __all__ = [
 from .image_gen import ImageGenTask
 from .tasks import TASK_REGISTRY as _TR
 _TR["image_gen"] = ImageGenTask
+from .detection import DetectionTask
+_TR["detection"] = DetectionTask

@@ -245,6 +245,37 @@ class VqaTask(AllCandTask):
     def evaluate(self, params, model_cfg, dataset, batch_size=4, limit=None):
         return self._eval_common(params, model_cfg, dataset, batch_size, limit, True)
 
+    def evaluate_zero_shot(self, params, model_cfg, dataset, batch_size=4, limit=None):
+        """Open-vocabulary beam decode, no trie (ref: utils/zero_shot_utils.py:
+        40-46 — generator.zero_shot=True, constraint trie removed)."""
+        gen_cfg = GenerationConfig(
+            beam_size=5, max_len_b=8, min_len=1, zero_shot=True
+        )
+        v = self.vocab
+
+        @jax.jit
+        def run(params, src, imgs, masks):
+            enc = ofa.encode(params, model_cfg, src, imgs, masks)
+            return beam_search(params, model_cfg, gen_cfg, enc, max_len=gen_cfg.max_len_b)
+
+        soft_sum, n = 0.0, 0
+        for batch in iter_batches(
+            dataset, self.builder("valid"), batch_size, v.pad, limit=limit, drop_last=True
+        ):
+            toks, _ = run(
+                params,
+                jnp.asarray(batch["src_tokens"]),
+                jnp.asarray(batch["patch_images"], jnp.float32),
+                jnp.asarray(batch["patch_masks"]),
+            )
+            toks = np.asarray(toks)
+            for i, e in enumerate(batch["extras"]):
+                seq = [int(t) for t in toks[i, 0] if t not in (v.pad, v.eos)]
+                pred = v.decode_ids(seq)
+                soft_sum += e["ref_dict"].get(pred, 0.0)
+                n += 1
+        return {"zero_shot_score": soft_sum / max(1, n), "n": n}
+
 
 class ImageClassifyTask(AllCandTask):
     name = "image_classify"

@@ -10,3 +10,4 @@ from .checkpoint import (
     CheckpointManager, export_pt, import_pt, load_checkpoint, save_checkpoint,
 )
 from .trainer import EarlyStopper, train_loop
+from .metrics import MetricsLogger, SmoothedMeter, named_scope, profile_trace
