@@ -65,6 +65,9 @@ class ModelConfig:
     orig_patch_image_size: int = 256
     interpolate_position: bool = False
     code_image_size: int = 128  # decoder image window = //8 = 16
+    # bottleneck adapters (ref: unify_transformer_layer.py:49-93)
+    use_adapter: bool = False
+    adapter_dim: int = 200
     # regularization
     dropout: float = 0.0
     attention_dropout: float = 0.0

@@ -12,3 +12,4 @@ __all__ = [
 ]
 from .detection import DetectionBuilder
 from .pretrain import ImageTextPairBuilder, TextInfillingBuilder
+from .augment import RandAugment, horizontal_flip, large_scale_jitter, random_crop

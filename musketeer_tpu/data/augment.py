@@ -1,0 +1,159 @@
+"""Train-time image augmentation: RandAugment + box-aware geometric ops.
+
+Host-side PIL/numpy counterparts of the reference's augmentation stacks:
+RandAugment op zoo (ref: utils/vision_helper.py:10-338, used by
+image_classify_dataset.py:85-90) and the box-propagating flip/crop/jitter
+transforms (ref: utils/transforms.py:15-262, LargeScaleJitter :271-384).
+Standard published algorithms, implemented fresh.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+
+# ---------------------------------------------------------------------------
+# RandAugment
+# ---------------------------------------------------------------------------
+
+def _autocontrast(img, _):
+    return ImageOps.autocontrast(img)
+
+
+def _equalize(img, _):
+    return ImageOps.equalize(img)
+
+
+def _invert(img, _):
+    return ImageOps.invert(img)
+
+
+def _rotate(img, m):
+    return img.rotate((m / 30) * 30 * random.choice([-1, 1]))
+
+
+def _posterize(img, m):
+    return ImageOps.posterize(img, max(1, int(8 - (m / 30) * 4)))
+
+
+def _solarize(img, m):
+    return ImageOps.solarize(img, int(256 - (m / 30) * 256))
+
+
+def _color(img, m):
+    return ImageEnhance.Color(img).enhance(1 + (m / 30) * random.choice([-1, 1]) * 0.9)
+
+
+def _contrast(img, m):
+    return ImageEnhance.Contrast(img).enhance(1 + (m / 30) * random.choice([-1, 1]) * 0.9)
+
+
+def _brightness(img, m):
+    return ImageEnhance.Brightness(img).enhance(1 + (m / 30) * random.choice([-1, 1]) * 0.9)
+
+
+def _sharpness(img, m):
+    return ImageEnhance.Sharpness(img).enhance(1 + (m / 30) * random.choice([-1, 1]) * 0.9)
+
+
+def _shear_x(img, m):
+    v = (m / 30) * 0.3 * random.choice([-1, 1])
+    return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
+
+
+def _shear_y(img, m):
+    v = (m / 30) * 0.3 * random.choice([-1, 1])
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
+
+
+def _translate_x(img, m):
+    v = (m / 30) * 0.45 * img.size[0] * random.choice([-1, 1])
+    return img.transform(img.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
+
+
+def _translate_y(img, m):
+    v = (m / 30) * 0.45 * img.size[1] * random.choice([-1, 1])
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
+
+
+RANDAUG_OPS = [
+    _autocontrast, _equalize, _invert, _rotate, _posterize, _solarize,
+    _color, _contrast, _brightness, _sharpness,
+    _shear_x, _shear_y, _translate_x, _translate_y,
+]
+
+
+class RandAugment:
+    """n random ops at magnitude m (Cubuk et al.; ref vision_helper zoo)."""
+
+    def __init__(self, n: int = 2, m: int = 9, seed: Optional[int] = None):
+        self.n = n
+        self.m = m
+        if seed is not None:
+            random.seed(seed)
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        for op in random.sample(RANDAUG_OPS, self.n):
+            img = op(img, self.m)
+        return img
+
+
+# ---------------------------------------------------------------------------
+# box-aware geometric ops (boxes: [N, 4] x0 y0 x1 y1 pixels)
+# ---------------------------------------------------------------------------
+
+def horizontal_flip(
+    img: Image.Image, boxes: Optional[np.ndarray] = None
+) -> Tuple[Image.Image, Optional[np.ndarray]]:
+    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if boxes is not None and len(boxes):
+        w = img.size[0]
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    return img, boxes
+
+
+def random_crop(
+    img: Image.Image, boxes: Optional[np.ndarray], out_w: int, out_h: int,
+    rng: Optional[random.Random] = None,
+) -> Tuple[Image.Image, Optional[np.ndarray]]:
+    rng = rng or random
+    w, h = img.size
+    out_w, out_h = min(out_w, w), min(out_h, h)
+    left = rng.randint(0, w - out_w) if w > out_w else 0
+    top = rng.randint(0, h - out_h) if h > out_h else 0
+    img = img.crop((left, top, left + out_w, top + out_h))
+    if boxes is not None and len(boxes):
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]] - left, 0, out_w)
+        boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]] - top, 0, out_h)
+    return img, boxes
+
+
+def large_scale_jitter(
+    img: Image.Image,
+    boxes: Optional[np.ndarray],
+    out_size: int,
+    scale_range: Tuple[float, float] = (0.1, 2.0),
+    rng: Optional[random.Random] = None,
+) -> Tuple[Image.Image, Optional[np.ndarray]]:
+    """Random global rescale then crop/pad to out_size (ref: transforms.py
+    LargeScaleJitter :271-384)."""
+    rng = rng or random
+    w, h = img.size
+    scale = rng.uniform(*scale_range) * out_size / max(w, h)
+    nw, nh = max(1, int(round(w * scale))), max(1, int(round(h * scale)))
+    img = img.resize((nw, nh), Image.BICUBIC)
+    if boxes is not None and len(boxes):
+        boxes = boxes * np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
+    img, boxes = random_crop(img, boxes, out_size, out_size, rng)
+    # pad to square if smaller
+    if img.size != (out_size, out_size):
+        canvas = Image.new("RGB", (out_size, out_size))
+        canvas.paste(img, (0, 0))
+        img = canvas
+    return img, boxes

@@ -105,9 +105,31 @@ def _init_attention(key, cfg: ModelConfig) -> Params:
     return p
 
 
+def _init_adapter(key, cfg: ModelConfig) -> Params:
+    """Bottleneck adapter: down→relu→up, scaled, residual
+    (ref: unify_transformer_layer.py:49-93, bert-style init std 0.02)."""
+    ks = jax.random.split(key, 2)
+    d, a = cfg.embed_dim, cfg.adapter_dim
+    return {
+        "down_proj": {
+            "w": jax.random.normal(ks[0], (d, a), jnp.float32) * 0.02,
+            "b": jnp.zeros((a,), jnp.float32),
+        },
+        "up_proj": {
+            "w": jax.random.normal(ks[1], (a, d), jnp.float32) * 0.02,
+            "b": jnp.zeros((d,), jnp.float32),
+        },
+    }
+
+
+def _apply_adapter(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = jax.nn.relu(_linear(p["down_proj"], x))
+    return _linear(p["up_proj"], h) + x
+
+
 def _init_enc_layer(key, cfg: ModelConfig) -> Params:
     d, f = cfg.embed_dim, cfg.ffn_dim
-    ks = jax.random.split(key, 3)
+    ks = jax.random.split(key, 4)
     p = {
         "self_attn": _init_attention(ks[0], cfg),
         "self_attn_layer_norm": _init_ln(d),
@@ -121,6 +143,8 @@ def _init_enc_layer(key, cfg: ModelConfig) -> Params:
         p["ffn_layernorm"] = _init_ln(f)
     if cfg.scale_resids:
         p["w_resid"] = jnp.ones((d,), jnp.float32)
+    if cfg.use_adapter:
+        p["adapter"] = _init_adapter(ks[3], cfg)
     return p
 
 
@@ -240,16 +264,16 @@ def _flash_self_attn(
     kpad: jnp.ndarray,  # [B, T]
     causal: bool,
 ) -> jnp.ndarray:
-    from ..ops.flash_attention import flash_attention_bias
+    from ..ops.flash_attention_bwd import flash_attention_bias_trainable
 
     H = cfg.attention_heads
     scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
     q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
     k = _split_heads(_linear(p["k_proj"], x), H)
     v = _split_heads(_linear(p["v_proj"], x), H)
-    out = flash_attention_bias(
+    out = flash_attention_bias_trainable(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
-        rel.astype(q.dtype), kpad, causal=causal,
+        rel.astype(q.dtype), kpad, causal,
     )
     out = _merge_heads(out)
     if "c_attn" in p:
@@ -265,15 +289,17 @@ def _flash_cross_attn(
     p: Params, cfg: ModelConfig, x: jnp.ndarray, enc_x: jnp.ndarray,
     pos_q: jnp.ndarray, pos_k: jnp.ndarray, kpad: jnp.ndarray,
 ) -> jnp.ndarray:
-    from ..ops.flash_attention import flash_cross_attention
+    from ..ops.flash_attention_bwd import flash_attention_bias_trainable
 
     H = cfg.attention_heads
     scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
     q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
     k = _split_heads(_linear(p["k_proj"], enc_x), H)
     v = _split_heads(_linear(p["v_proj"], enc_x), H)
-    out = flash_cross_attention(
-        q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype), kpad
+    rel0 = jnp.zeros((H, q.shape[2], k.shape[2]), q.dtype)
+    out = flash_attention_bias_trainable(
+        q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
+        rel0, kpad, False, 128, False, False,
     )
     out = _merge_heads(out)
     if "c_attn" in p:
@@ -408,6 +434,8 @@ def _encoder_layer(
         h = _layer_norm(p["ffn_layernorm"], h)
     h = _linear(p["fc2"], h)
     h = _dropout(h, cfg.dropout, dr(3), deterministic)
+    if "adapter" in p:
+        h = _apply_adapter(p["adapter"], h)
     if "w_resid" in p:
         residual = residual * p["w_resid"].astype(residual.dtype)
     return residual + h
@@ -488,9 +516,12 @@ def encode(
     x = x * (1.0 - padding_mask[:, :, None].astype(x.dtype))
 
     S = x.shape[1]
-    # Pallas path preconditions: eval-mode, batch-invariant relative bias
+    # Pallas path preconditions: no attention dropout (kernel has none) and
+    # batch-invariant relative bias (no per-sample patch subsampling)
     use_flash = (
-        cfg.use_flash_attention and deterministic and sample_patch_order is None
+        cfg.use_flash_attention
+        and sample_patch_order is None
+        and (deterministic or cfg.attention_dropout == 0.0)
     )
 
     # text rel bias indices [T, T]; image rel bias indices [B, N, N]
@@ -525,13 +556,14 @@ def encode(
                 rel = rel.at[:, :N, :N].set(
                     image_table[image_rp].transpose(2, 0, 1)
                 )
-            return (
-                _encoder_layer(
-                    layer_p, cfg, x, None, padding_mask,
-                    deterministic=True, flash=(pos_q, pos_k, rel),
-                ),
-                None,
+            fwd = lambda xx: _encoder_layer(
+                layer_p, cfg, xx, None, padding_mask,
+                rngs=rngs, deterministic=deterministic,
+                flash=(pos_q, pos_k, rel),
             )
+            if cfg.remat:
+                fwd = jax.checkpoint(fwd)
+            return fwd(x), None
     else:
         abs_bias = _abs_pos_bias(
             enc["pos_q_linear"], enc["pos_k_linear"], pos_for_bias, cfg
@@ -800,6 +832,8 @@ def _decoder_layer(
         h = _layer_norm(p["ffn_layernorm"], h)
     h = _linear(p["fc2"], h)
     h = _dropout(h, cfg.dropout, dr(5), deterministic)
+    if "adapter" in p:
+        h = _apply_adapter(p["adapter"], h)
     if "w_resid" in p:
         residual = residual * p["w_resid"].astype(residual.dtype)
     return residual + h, new_cache
@@ -824,7 +858,9 @@ def decode(
     dec = params["decoder"]
 
     use_flash = (
-        cfg.use_flash_attention and deterministic and code_masks is None
+        cfg.use_flash_attention
+        and code_masks is None
+        and (deterministic or cfg.attention_dropout == 0.0)
     )
 
     self_pad = prev_output_tokens == cfg.pad
@@ -853,14 +889,14 @@ def decode(
 
         def layer_body(x, layer_in):
             layer_p, rt = layer_in
-            return (
-                _decoder_layer(
-                    layer_p, cfg, x, None, None, enc_x, enc_pad, self_pad,
-                    causal_offset=None, deterministic=True,
-                    flash=(pos_q, pos_k, rt.astype(jnp.float32), cross_pos_q, cross_pos_k),
-                )[0],
-                None,
-            )
+            fwd = lambda xx: _decoder_layer(
+                layer_p, cfg, xx, None, None, enc_x, enc_pad, self_pad,
+                causal_offset=None, rngs=rngs, deterministic=deterministic,
+                flash=(pos_q, pos_k, rt.astype(jnp.float32), cross_pos_q, cross_pos_k),
+            )[0]
+            if cfg.remat:
+                fwd = jax.checkpoint(fwd)
+            return fwd(x), None
 
         xs = (dec["layers"], rel_tok)
     else:

@@ -1,0 +1,337 @@
+"""Custom VJP for the Pallas attention-with-bias kernels (training path).
+
+Standard flash-attention backward specialized to the block-parallel regime
+(full K/V rows in VMEM, S ≤ ~1536). Forward additionally saves the per-row
+log-sum-exp; backward recomputes P tile-wise and produces all six gradients:
+
+  dW = P ∘ (dO·Vᵀ − rowsum(dO ∘ O))
+  dq = dW·K         dpos_q = dW·PK
+  dk = dWᵀ·Q        dpos_k = dWᵀ·PQ        dv = Pᵀ·dO
+  drel = Σ_b dW
+
+TPU grid-accumulation rules shape the split into two kernels:
+- kernel A, grid (B, H, nQ): per-tile dq/dpos_q plus dk/dv/dpos_k accumulated
+  over the innermost q-tile axis (consecutive revisits of the same block),
+- kernel B, grid (H, nQ, B): recomputes dW and accumulates drel over the
+  innermost batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward kernel that also writes log-sum-exp
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
+                o_ref, lse_ref, *, causal, block_q):
+    qi = pl.program_id(2)
+    w = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    w += jax.lax.dot_general(
+        pq_ref[...], pk_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    w += rel_ref[...].astype(jnp.float32)
+    if causal:
+        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(kpos > qpos, NEG_INF, w)
+    pad = kpad_ref[pl.program_id(0), :] != 0
+    w = jnp.where(pad[None, :], NEG_INF, w)
+    m = jnp.max(w, axis=-1, keepdims=True)
+    e = jnp.exp(w - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    lse_ref[...] = (m + jnp.log(denom)).astype(jnp.float32)
+    p = (e / denom).astype(v_ref.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        p, v_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_a(
+    q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
+    do_ref, lse_ref, dsum_ref,
+    dq_ref, dpq_ref, dk_ref, dv_ref, dpk_ref,
+    *, causal, block_q,
+):
+    qi = pl.program_id(2)
+    q = q_ref[...]
+    pq = pq_ref[...]
+    w = jax.lax.dot_general(
+        q, k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    w += jax.lax.dot_general(
+        pq, pk_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    w += rel_ref[...].astype(jnp.float32)
+    if causal:
+        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(kpos > qpos, NEG_INF, w)
+    pad = kpad_ref[pl.program_id(0), :] != 0
+    w = jnp.where(pad[None, :], NEG_INF, w)
+    p = jnp.exp(w - lse_ref[...])  # [BQ, S] fp32 (pad cols → 0)
+
+    do = do_ref[...].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw = p * (dp - dsum_ref[...])  # [BQ, S]
+
+    dq_ref[...] = jax.lax.dot_general(
+        dw, k_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dpq_ref[...] = jax.lax.dot_general(
+        dw, pk_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dpq_ref.dtype)
+
+    dk_t = jax.lax.dot_general(
+        dw, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, D]
+    dv_t = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dpk_t = jax.lax.dot_general(
+        dw, pq.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        dpk_ref[...] = jnp.zeros_like(dpk_ref)
+
+    dk_ref[...] += dk_t.astype(dk_ref.dtype)
+    dv_ref[...] += dv_t.astype(dv_ref.dtype)
+    dpk_ref[...] += dpk_t.astype(dpk_ref.dtype)
+
+
+def _bwd_kernel_b(
+    q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
+    do_ref, lse_ref, dsum_ref, drel_ref, *, causal, block_q,
+):
+    # grid (H, nQ, B): accumulate drel over innermost b
+    qi = pl.program_id(1)
+    b = pl.program_id(2)
+    w = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    w += jax.lax.dot_general(
+        pq_ref[...], pk_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    w += rel_ref[...].astype(jnp.float32)
+    if causal:
+        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(kpos > qpos, NEG_INF, w)
+    pad = kpad_ref[b, :] != 0
+    w = jnp.where(pad[None, :], NEG_INF, w)
+    p = jnp.exp(w - lse_ref[...])
+    do = do_ref[...].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw = p * (dp - dsum_ref[...])
+
+    @pl.when(b == 0)
+    def _():
+        drel_ref[...] = jnp.zeros_like(drel_ref)
+
+    drel_ref[...] += dw.astype(drel_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _pad_all(q, k, v, pq, pk, rel, kpad, block_q):
+    """Pad queries to Tp (block multiple) and keys to Sp; T may differ from S
+    (cross-attention)."""
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    Tp, Sp = _round_up(T, block_q), _round_up(S, 128)
+    Dp = _round_up(D, 128)
+    qs = ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D))
+    ks = ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D))
+    q, pq = jnp.pad(q, qs), jnp.pad(pq, qs)
+    k, v, pk = jnp.pad(k, ks), jnp.pad(v, ks), jnp.pad(pk, ks)
+    rel = jnp.pad(rel, ((0, 0), (0, Tp - T), (0, Sp - S)))
+    kpad = jnp.pad(kpad, ((0, 0), (0, Sp - S)), constant_values=True)
+    return q, k, v, pq, pk, rel, kpad, Tp, Sp, Dp
+
+
+def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret):
+    interpret = interpret or jax.default_backend() == "cpu"
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    q2, k2, v2, pq2, pk2, rel2, kpad2, Tp, Sp, Dp = _pad_all(
+        q, k, v, pq, pk, rel, kpad, block_q
+    )
+    grid = (B, H, Tp // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, causal=causal, block_q=block_q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
+            pl.BlockSpec((B, Sp), lambda b, h, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Tp, Dp), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q2, k2, v2, pq2, pk2, rel2, kpad2.astype(jnp.int32))
+    return o[:, :, :T, :D], lse[:, :, :T, 0]
+
+
+def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
+         o, lse, do):
+    interpret = interpret or jax.default_backend() == "cpu"
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    q2, k2, v2, pq2, pk2, rel2, kpad2, Tp, Sp, Dp = _pad_all(
+        q, k, v, pq, pk, rel, kpad, block_q
+    )
+    do2 = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D)))
+    lse2 = jnp.pad(lse, ((0, 0), (0, 0), (0, Tp - T)))[..., None]
+    dsum = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )
+    dsum2 = jnp.pad(dsum, ((0, 0), (0, 0), (0, Tp - T)))[..., None]
+    kpad_i = kpad2.astype(jnp.int32)
+
+    nq = Tp // block_q
+    common_in = [q2, k2, v2, pq2, pk2, rel2, kpad_i, do2, lse2, dsum2]
+    specs_a = [
+        pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
+        pl.BlockSpec((B, Sp), lambda b, h, i: (0, 0)),
+        pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+    ]
+    dq, dpq, dk, dv, dpk = pl.pallas_call(
+        functools.partial(_bwd_kernel_a, causal=causal, block_q=block_q),
+        grid=(B, H, nq),
+        in_specs=specs_a,
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Tp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Tp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sp, Dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*common_in)
+
+    specs_b = [
+        pl.BlockSpec((None, None, block_q, Dp), lambda h, i, b: (b, h, i, 0)),
+        pl.BlockSpec((None, None, Sp, Dp), lambda h, i, b: (b, h, 0, 0)),
+        pl.BlockSpec((None, None, Sp, Dp), lambda h, i, b: (b, h, 0, 0)),
+        pl.BlockSpec((None, None, block_q, Dp), lambda h, i, b: (b, h, i, 0)),
+        pl.BlockSpec((None, None, Sp, Dp), lambda h, i, b: (b, h, 0, 0)),
+        pl.BlockSpec((None, block_q, Sp), lambda h, i, b: (h, i, 0)),
+        pl.BlockSpec((B, Sp), lambda h, i, b: (0, 0)),
+        pl.BlockSpec((None, None, block_q, Dp), lambda h, i, b: (b, h, i, 0)),
+        pl.BlockSpec((None, None, block_q, 1), lambda h, i, b: (b, h, i, 0)),
+        pl.BlockSpec((None, None, block_q, 1), lambda h, i, b: (b, h, i, 0)),
+    ]
+    if need_drel:
+        drel = pl.pallas_call(
+            functools.partial(_bwd_kernel_b, causal=causal, block_q=block_q),
+            grid=(H, nq, B),
+            in_specs=specs_b,
+            out_specs=pl.BlockSpec((None, block_q, Sp), lambda h, i, b: (h, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((H, Tp, Sp), jnp.float32),
+            interpret=interpret,
+        )(*common_in)
+        drel = drel[:, :T, :S].astype(rel.dtype)
+    else:
+        drel = jnp.zeros_like(rel)
+
+    qsl = (slice(None), slice(None), slice(0, T), slice(0, D))
+    ksl = (slice(None), slice(None), slice(0, S), slice(0, D))
+    return (
+        dq[qsl].astype(q.dtype),
+        dk[ksl].astype(k.dtype),
+        dv[ksl].astype(v.dtype),
+        dpq[qsl].astype(pq.dtype),
+        dpk[ksl].astype(pk.dtype),
+        drel,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def flash_attention_bias_trainable(
+    q, k, v, pos_q, pos_k, rel, kpad,
+    causal: bool = False, block_q: int = 128, interpret: bool = False,
+    need_drel: bool = True,
+):
+    """Differentiable Pallas attention with decomposed bias.
+
+    Supports self (T==S, optional causal) and cross (T != S, rel usually
+    zeros with need_drel=False) attention."""
+    o, _ = _fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret)
+    return o
+
+
+def _vjp_fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret, need_drel):
+    o, lse = _fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret)
+    return o, (q, k, v, pos_q, pos_k, rel, kpad, o, lse)
+
+
+def _vjp_bwd(causal, block_q, interpret, need_drel, res, do):
+    q, k, v, pos_q, pos_k, rel, kpad, o, lse = res
+    dq, dk, dv, dpq, dpk, drel = _bwd(
+        q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret, need_drel,
+        o, lse, do,
+    )
+    return dq, dk, dv, dpq, dpk, drel, None
+
+
+flash_attention_bias_trainable.defvjp(_vjp_fwd, _vjp_bwd)

@@ -150,15 +150,28 @@ def make_train_step(
         grads = jax.tree.map(lambda g: g / A, grads)
 
         gnorm = optax.global_norm(grads)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # skip the update on non-finite gradients — the TPU-native stand-in
+        # for the reference's NaN detector / AMP overflow batch-retry
+        # (ref: trainer.py:899-923, fairseq.nan_detector)
+        finite = jnp.isfinite(gnorm)
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        def keep_if_skipped(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+
+        new_params = keep_if_skipped(new_params, state.params)
+        new_opt = keep_if_skipped(new_opt, state.opt_state)
         new_ema = (
             ema_update(state.ema_params, new_params, ema_decay)
             if state.ema_params is not None
             else None
         )
         new_state = TrainState(
-            step=state.step + 1,
+            step=state.step + finite.astype(jnp.int32),
             params=new_params,
             opt_state=new_opt,
             ema_params=new_ema,
@@ -166,6 +179,7 @@ def make_train_step(
         out_metrics = {k: v[-1] for k, v in metrics.items()}
         out_metrics["loss"] = loss_sum / A
         out_metrics["gnorm"] = gnorm
+        out_metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         return new_state, out_metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -74,3 +74,30 @@ def test_model_flash_parity_text_only():
         np.asarray(l2[..., : cfg.vocab_size]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_model_flash_grads_match_naive():
+    """Training gradients through the Pallas VJP must match the XLA path."""
+    from dataclasses import replace as rp
+
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    src, imgs, masks = make_batch(cfg)
+    prev = jnp.asarray(np.random.RandomState(9).randint(4, 100, (2, 6)), jnp.int32)
+    tgt = jnp.roll(prev, -1, axis=1).at[:, -1].set(cfg.eos)
+
+    def loss(params, cfg):
+        logits = ofa.forward(params, cfg, src, prev, imgs, masks)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32)[..., : cfg.vocab_size])
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+    from jax.flatten_util import ravel_pytree
+
+    g1 = jax.grad(loss)(params, cfg)
+    g2 = jax.grad(loss)(params, rp(cfg, use_flash_attention=True))
+    flat1, _ = ravel_pytree(g1)
+    flat2, _ = ravel_pytree(g2)
+    scale = float(jnp.abs(flat1).max())
+    assert float(jnp.abs(flat1 - flat2).max()) < 5e-4 * max(scale, 1.0), (
+        float(jnp.abs(flat1 - flat2).max()), scale
+    )

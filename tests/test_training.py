@@ -167,3 +167,24 @@ def test_sharded_train_step(cpu_devices):
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-4
     )
+
+
+def test_nonfinite_grads_skip_update():
+    """A batch that produces NaN loss must not corrupt the params (ref:
+    trainer.py NanDetector / AMP overflow retry semantics)."""
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    crit = CriterionConfig()
+    optim = OptimConfig(lr=1e-2, warmup_updates=1, total_updates=10)
+    state = init_train_state(params, optim)
+    step_fn = make_train_step(cfg, crit, optim, donate=False)
+    bad = text_batch(cfg, accum=1)
+    # poison: NaN conf weight propagates into the loss
+    bad = bad._replace(conf=jnp.full((1, bad.src_tokens.shape[1]), jnp.nan)[:, :4])
+    state2, metrics = step_fn(state, {"t": bad}, jax.random.PRNGKey(0))
+    assert metrics["skipped_nonfinite"] == 1.0
+    assert int(state2.step) == 0  # update skipped
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(b)).all()
