@@ -21,6 +21,12 @@ REFERENCE_SAMPLES_PER_SEC = 2.4  # anchor; see docstring
 
 def main():
     import jax
+
+    # persistent compile cache: the remote-TPU first compile of the beam
+    # program is minutes; cached reruns are seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from dataclasses import replace
 

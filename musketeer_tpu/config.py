@@ -68,6 +68,11 @@ class ModelConfig:
     # bottleneck adapters (ref: unify_transformer_layer.py:49-93)
     use_adapter: bool = False
     adapter_dim: int = 200
+    # prefix prompt tuning (ref: PromptEncoder unify_transformer.py:85-140)
+    encoder_prompt: bool = False
+    encoder_prompt_length: int = 100
+    decoder_prompt: bool = False
+    decoder_prompt_length: int = 100
     # regularization
     dropout: float = 0.0
     attention_dropout: float = 0.0

@@ -70,6 +70,17 @@ def _dropout(x, rate, rng, deterministic):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def _drop_path(x, rate, rng, deterministic):
+    """Stochastic depth: drop the whole residual branch per sample
+    (ref: unify_transformer_layer.py:19-35 DropPath). `rate` may be a traced
+    per-layer scalar (linspace over depth, ref: unify_transformer.py:595)."""
+    if deterministic or rng is None or rate is None:
+        return x
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.uniform(rng, shape) >= rate
+    return jnp.where(keep, x / jnp.maximum(1.0 - rate, 1e-6), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # parameter init
 # ---------------------------------------------------------------------------
@@ -195,6 +206,14 @@ def init_ofa_params(key: jax.Array, cfg: ModelConfig) -> Params:
                 ]
             ),
             "layer_norm": _init_ln(d),
+            # prefix prompts (ref: PromptEncoder, no-projection variant)
+            **(
+                {"prompt_embedding": _init_embed(
+                    jax.random.fold_in(keys[8], 99),
+                    cfg.encoder_prompt_length, cfg.encoder_layers * 2 * d,
+                )}
+                if cfg.encoder_prompt else {}
+            ),
             # zero-init rel-pos tables (ref: Embedding(..., zero_init=True))
             "token_rel_pos_table": jnp.zeros(
                 (cfg.encoder_layers, cfg.token_num_rel_dis, cfg.attention_heads),
@@ -225,6 +244,13 @@ def init_ofa_params(key: jax.Array, cfg: ModelConfig) -> Params:
                 ]
             ),
             "layer_norm": _init_ln(d),
+            **(
+                {"prompt_embedding": _init_embed(
+                    jax.random.fold_in(keys[15], 99),
+                    cfg.decoder_prompt_length, cfg.decoder_layers * 2 * d,
+                )}
+                if cfg.decoder_prompt else {}
+            ),
             "token_rel_pos_table": jnp.zeros(
                 (cfg.decoder_layers, cfg.token_num_rel_dis, cfg.attention_heads),
                 jnp.float32,
@@ -241,6 +267,15 @@ def init_ofa_params(key: jax.Array, cfg: ModelConfig) -> Params:
 # ---------------------------------------------------------------------------
 # attention
 # ---------------------------------------------------------------------------
+
+def _prompt_kv(embed: jnp.ndarray, L: int, H: int, hd: int, B: int, dtype):
+    """[P, L*2*d] prompt table → stacked per-layer KV [L, 2, B, H, P, hd]
+    (ref: get_encoder_prompt reshape, unify_transformer.py:700-711)."""
+    P = embed.shape[0]
+    kv = embed.reshape(P, L, 2, H, hd).transpose(1, 2, 3, 0, 4)  # [L,2,H,P,hd]
+    kv = jnp.broadcast_to(kv[:, :, None], (L, 2, B, H, P, hd))
+    return kv.astype(dtype)
+
 
 def _pos_proj(lin: Params, pos_embed: jnp.ndarray, cfg: ModelConfig, scale_q: bool, dtype):
     """LN'd positional embeds → per-head projections [B, H, T, hd] for the
@@ -333,11 +368,14 @@ def attention(
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    prompt_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # ([B,H,P,hd], [B,H,P,hd])
 ) -> jnp.ndarray:
     """Multi-head attention with additive positional bias.
 
     ref: unify_multihead_attention.py:200-420. Scaling (hd*scale_factor)^-0.5,
-    bias added pre-softmax in fp32, softmax in fp32.
+    bias added pre-softmax in fp32, softmax in fp32. ``prompt_kv`` prepends
+    prefix-tuning keys/values; bias/causality apply only to the real keys
+    (ref: attn_weights[:, :, -src_len:] += attn_bias, :350-351).
     """
     H = cfg.attention_heads
     scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
@@ -345,15 +383,28 @@ def attention(
     k = _split_heads(_linear(p["k_proj"], key), H)
     v = _split_heads(_linear(p["v_proj"], value), H)
 
+    P = 0
+    if prompt_kv is not None:
+        pk, pv = prompt_kv
+        P = pk.shape[2]
+        k = jnp.concatenate([pk.astype(k.dtype), k], axis=2)
+        v = jnp.concatenate([pv.astype(v.dtype), v], axis=2)
+
     w = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     if bias is not None:
+        if P:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (P, 0)))
         w = w + bias.astype(jnp.float32)
     if causal_offset is not None:
         tq, tk = w.shape[-2], w.shape[-1]
         qpos = jnp.arange(tq) + causal_offset
-        kpos = jnp.arange(tk)
+        kpos = jnp.arange(tk) - P  # prompt keys visible to every query
         w = jnp.where(kpos[None, :] > qpos[:, None], NEG_INF, w)
     if key_padding_mask is not None:
+        if P:
+            key_padding_mask = jnp.pad(
+                key_padding_mask, ((0, 0), (P, 0)), constant_values=False
+            )
         w = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, w)
 
     probs = jax.nn.softmax(w, axis=-1)
@@ -373,6 +424,10 @@ def attention(
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
+
+def _dec_dpr(cfg: ModelConfig) -> jnp.ndarray:
+    return jnp.linspace(0.0, cfg.decoder_drop_path_rate, cfg.decoder_layers)
+
 
 class EncoderOut(NamedTuple):
     x: jnp.ndarray  # [B, S, d] final hidden states
@@ -404,6 +459,8 @@ def _encoder_layer(
     rngs=None,
     deterministic: bool = True,
     flash: Optional[Tuple] = None,  # (pos_q, pos_k, rel) → pallas kernel path
+    drop_path_rate=None,  # traced per-layer scalar (stochastic depth)
+    prompt_kv: Optional[Tuple] = None,  # prefix-tuning KV for self-attn
 ) -> jnp.ndarray:
     """Pre-LN encoder block (ref: unify_transformer_layer.py:110-293)."""
     def dr(i):
@@ -420,11 +477,12 @@ def _encoder_layer(
         h = attention(
             p["self_attn"], cfg, h, h, h, bias, padding_mask,
             dropout_rate=cfg.attention_dropout, rng=dr(0), deterministic=deterministic,
+            prompt_kv=prompt_kv,
         )
     if "attn_ln" in p:
         h = _layer_norm(p["attn_ln"], h)
     h = _dropout(h, cfg.dropout, dr(1), deterministic)
-    x = residual + h
+    x = residual + _drop_path(h, drop_path_rate, dr(10), deterministic)
 
     residual = x
     h = _layer_norm(p["final_layer_norm"], x)
@@ -438,7 +496,7 @@ def _encoder_layer(
         h = _apply_adapter(p["adapter"], h)
     if "w_resid" in p:
         residual = residual * p["w_resid"].astype(residual.dtype)
-    return residual + h
+    return residual + _drop_path(h, drop_path_rate, dr(11), deterministic)
 
 
 def encode(
@@ -521,7 +579,16 @@ def encode(
     use_flash = (
         cfg.use_flash_attention
         and sample_patch_order is None
+        and not cfg.encoder_prompt
         and (deterministic or cfg.attention_dropout == 0.0)
+    )
+    enc_prompt_kv = (
+        _prompt_kv(
+            enc["prompt_embedding"], cfg.encoder_layers, cfg.attention_heads,
+            cfg.head_dim, B, dtype,
+        )
+        if cfg.encoder_prompt
+        else None
     )
 
     # text rel bias indices [T, T]; image rel bias indices [B, N, N]
@@ -547,7 +614,7 @@ def encode(
         H = cfg.attention_heads
 
         def layer_body(x, layer_in):
-            layer_p, token_table, image_table = layer_in
+            layer_p, token_table, image_table, dp_rate = layer_in
             rel = jnp.zeros((H, S, S), jnp.float32)
             rel = rel.at[:, S - T :, S - T :].set(
                 token_table[token_rp].transpose(2, 0, 1)
@@ -560,6 +627,7 @@ def encode(
                 layer_p, cfg, xx, None, padding_mask,
                 rngs=rngs, deterministic=deterministic,
                 flash=(pos_q, pos_k, rel),
+                drop_path_rate=dp_rate if enc_dp else None,
             )
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
@@ -570,7 +638,11 @@ def encode(
         )
 
         def layer_body(x, layer_in):
-            layer_p, token_table, image_table = layer_in
+            if cfg.encoder_prompt:
+                layer_p, token_table, image_table, dp_rate, pkv = layer_in
+            else:
+                layer_p, token_table, image_table, dp_rate = layer_in
+                pkv = None
             rel_text = token_table[token_rp]  # [T, T, H]
             bias = abs_bias
             # add text rel bias to the bottom-right [T, T] block
@@ -585,16 +657,22 @@ def encode(
             fwd = lambda xx: _encoder_layer(
                 layer_p, cfg, xx, bias, padding_mask,
                 rngs=rngs, deterministic=deterministic,
+                drop_path_rate=dp_rate if enc_dp else None,
+                prompt_kv=(pkv[0], pkv[1]) if cfg.encoder_prompt else None,
             )
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
             return fwd(x), None
 
+    enc_dp = cfg.encoder_drop_path_rate > 0 and not deterministic
     xs = (
         enc["layers"],
         enc["token_rel_pos_table"],
         enc["image_rel_pos_table"],
+        jnp.linspace(0.0, cfg.encoder_drop_path_rate, cfg.encoder_layers),
     )
+    if cfg.encoder_prompt:
+        xs = xs + (enc_prompt_kv,)
     x, _ = jax.lax.scan(layer_body, x, xs)
 
     x = _layer_norm(enc["layer_norm"], x)
@@ -727,6 +805,8 @@ def _decoder_layer(
     rngs=None,
     deterministic=True,
     flash: Optional[Tuple] = None,  # (pos_q, pos_k, rel, cross_pos_q, cross_pos_k)
+    drop_path_rate=None,
+    prompt_kv: Optional[Tuple] = None,  # prefix-tuning KV for self-attn
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Pre-LN decoder block (ref: unify_transformer_layer.py:296-615).
 
@@ -754,6 +834,7 @@ def _decoder_layer(
             p["self_attn"], cfg, h, h, h, self_bias, self_pad,
             causal_offset=causal_offset,
             dropout_rate=cfg.attention_dropout, rng=dr(0), deterministic=deterministic,
+            prompt_kv=prompt_kv,
         )
     else:
         # incremental: append this step's K/V then attend over the prefix
@@ -785,7 +866,7 @@ def _decoder_layer(
     if "self_attn_ln" in p:
         h = _layer_norm(p["self_attn_ln"], h)
     h = _dropout(h, cfg.dropout, dr(1), deterministic)
-    x = residual + h
+    x = residual + _drop_path(h, drop_path_rate, dr(10), deterministic)
 
     # cross attention
     residual = x
@@ -821,7 +902,7 @@ def _decoder_layer(
     if "cross_attn_ln" in p:
         h = _layer_norm(p["cross_attn_ln"], h)
     h = _dropout(h, cfg.dropout, dr(3), deterministic)
-    x = residual + h
+    x = residual + _drop_path(h, drop_path_rate, dr(11), deterministic)
 
     # FFN
     residual = x
@@ -836,7 +917,7 @@ def _decoder_layer(
         h = _apply_adapter(p["adapter"], h)
     if "w_resid" in p:
         residual = residual * p["w_resid"].astype(residual.dtype)
-    return residual + h, new_cache
+    return residual + _drop_path(h, drop_path_rate, dr(12), deterministic), new_cache
 
 
 def decode(
@@ -860,7 +941,17 @@ def decode(
     use_flash = (
         cfg.use_flash_attention
         and code_masks is None
+        and not cfg.decoder_prompt
         and (deterministic or cfg.attention_dropout == 0.0)
+    )
+    dec_dp = cfg.decoder_drop_path_rate > 0 and not deterministic
+    dec_prompt_kv = (
+        _prompt_kv(
+            dec["prompt_embedding"], cfg.decoder_layers, cfg.attention_heads,
+            cfg.head_dim, B, dtype,
+        )
+        if cfg.decoder_prompt
+        else None
     )
 
     self_pad = prev_output_tokens == cfg.pad
@@ -888,17 +979,18 @@ def decode(
         rel_tok, _ = _decoder_rel_bias(params, cfg, T, None)
 
         def layer_body(x, layer_in):
-            layer_p, rt = layer_in
+            layer_p, rt, dp_rate = layer_in
             fwd = lambda xx: _decoder_layer(
                 layer_p, cfg, xx, None, None, enc_x, enc_pad, self_pad,
                 causal_offset=None, rngs=rngs, deterministic=deterministic,
                 flash=(pos_q, pos_k, rt.astype(jnp.float32), cross_pos_q, cross_pos_k),
+                drop_path_rate=dp_rate if dec_dp else None,
             )[0]
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
             return fwd(x), None
 
-        xs = (dec["layers"], rel_tok)
+        xs = (dec["layers"], rel_tok, _dec_dpr(cfg))
     else:
         tgt_pos_embed, self_bias, cross_bias = _decoder_pos_setup(
             params, cfg, B, T, encoder_out.pos_embed, code_masks, dtype
@@ -910,26 +1002,33 @@ def decode(
         rel_tok, rel_img = _decoder_rel_bias(params, cfg, T, code_masks)
 
         def layer_body(x, layer_in):
-            if code_masks is None:
-                layer_p, rt = layer_in
+            pkv = None
+            if code_masks is None and cfg.decoder_prompt:
+                layer_p, rt, dp_rate, pkv = layer_in
+                rel = rt[None]
+            elif code_masks is None:
+                layer_p, rt, dp_rate = layer_in
                 rel = rt[None]
             else:
-                layer_p, rt, ri = layer_in
+                layer_p, rt, ri, dp_rate = layer_in
                 rel = jnp.where(code_masks[:, None, None, None], ri[None], rt[None])
             bias = self_bias + rel.astype(self_bias.dtype)
             fwd = lambda xx: _decoder_layer(
                 layer_p, cfg, xx, bias, cross_bias, enc_x, enc_pad, self_pad,
                 causal_offset=0, rngs=rngs, deterministic=deterministic,
+                drop_path_rate=dp_rate if dec_dp else None,
+                prompt_kv=(pkv[0], pkv[1]) if pkv is not None else None,
             )[0]
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
             return fwd(x), None
 
-        xs = (
-            (dec["layers"], rel_tok)
-            if code_masks is None
-            else (dec["layers"], rel_tok, rel_img)
-        )
+        if code_masks is None and cfg.decoder_prompt:
+            xs = (dec["layers"], rel_tok, _dec_dpr(cfg), dec_prompt_kv)
+        elif code_masks is None:
+            xs = (dec["layers"], rel_tok, _dec_dpr(cfg))
+        else:
+            xs = (dec["layers"], rel_tok, rel_img, _dec_dpr(cfg))
     x, _ = jax.lax.scan(layer_body, x, xs)
     x = _layer_norm(dec["layer_norm"], x)
     if features_only:
@@ -1059,30 +1158,34 @@ def decode_step(
     cross_bias_t = jax.lax.dynamic_slice_in_dim(state.cross_bias_full, step, 1, axis=2)
     rel_t = jax.lax.dynamic_slice_in_dim(state.rel_full, step, 1, axis=3)  # [L,b,H,1,T]
 
-    L = cfg.decoder_layers
-    new_self_k = []
-    new_self_v = []
-    for i in range(L):
-        layer_p = jax.tree.map(lambda a: a[i], dec["layers"])
+    def layer_body(x, layer_in):
+        layer_p, rel_i, self_k, self_v, cross_k, cross_v = layer_in
         cache_i = {
-            "self_k": state.cache["self_k"][i],
-            "self_v": state.cache["self_v"][i],
-            "cross_k": state.cache["cross_k"][i],
-            "cross_v": state.cache["cross_v"][i],
+            "self_k": self_k, "self_v": self_v,
+            "cross_k": cross_k, "cross_v": cross_v,
         }
-        bias_i = self_bias_t + rel_t[i].astype(self_bias_t.dtype)
+        bias_i = self_bias_t + rel_i.astype(self_bias_t.dtype)
         x, cache_i = _decoder_layer(
             layer_p, cfg, x, bias_i, cross_bias_t, None, state.enc_pad, None,
             causal_offset=None, cache=cache_i, cache_index=step,
         )
-        new_self_k.append(cache_i["self_k"])
-        new_self_v.append(cache_i["self_v"])
+        return x, (cache_i["self_k"], cache_i["self_v"])
+
+    x, (new_self_k, new_self_v) = jax.lax.scan(
+        layer_body,
+        x,
+        (
+            dec["layers"], rel_t,
+            state.cache["self_k"], state.cache["self_v"],
+            state.cache["cross_k"], state.cache["cross_v"],
+        ),
+    )
 
     x = _layer_norm(dec["layer_norm"], x)
     logits = output_layer(params, cfg, x)[:, 0]
     new_cache = {
         **state.cache,
-        "self_k": jnp.stack(new_self_k),
-        "self_v": jnp.stack(new_self_v),
+        "self_k": new_self_k,
+        "self_v": new_self_v,
     }
     return logits, state._replace(cache=new_cache)

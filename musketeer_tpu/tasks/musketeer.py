@@ -108,14 +108,23 @@ class MusketeerDataLoader:
         per_micro = max(s.batch_size for s in self.specs)
         return self.main_len // (per_micro * self.update_freq)
 
-    def epoch_iterator(self, shuffle: bool = True) -> Iterator[Dict[str, TaskBatch]]:
-        """Yields one dict of accum-stacked TaskBatches per optimizer step."""
+    def epoch_iterator(
+        self, shuffle: bool = True, skip_steps: int = 0
+    ) -> Iterator[Dict[str, TaskBatch]]:
+        """Yields one dict of accum-stacked TaskBatches per optimizer step.
+
+        ``skip_steps`` fast-forwards the deterministic sample order without
+        building examples — mid-epoch resume (ref: the train-iterator position
+        in the checkpoint state, trainer.py:566-626)."""
         rng = np.random.RandomState(self.seed + self.epoch)
         order = {
             name: (rng.permutation(ds.row_count) if shuffle else np.arange(ds.row_count))
             for name, ds in self.datasets.items()
         }
-        cursors = {name: 0 for name in self.datasets}
+        cursors = {
+            name: skip_steps * self.update_freq * spec.batch_size
+            for name, spec in ((s.name, s) for s in self.specs)
+        }
 
         def next_example(name) -> Example:
             ds = self.datasets[name]
@@ -123,8 +132,8 @@ class MusketeerDataLoader:
             cursors[name] += 1
             return self.builders[name](ds[int(i)])
 
-        n_steps = self.steps_per_epoch()
-        for _ in range(n_steps):
+        n_steps = self.steps_per_epoch() - skip_steps
+        for _ in range(max(0, n_steps)):
             step_batches: Dict[str, List[Dict]] = {s.name: [] for s in self.specs}
             for _ in range(self.update_freq):
                 for spec in self.specs:

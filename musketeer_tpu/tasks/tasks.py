@@ -19,7 +19,7 @@ from ..generation import DenseTrie, beam_search
 from ..models import ofa
 from ..utils.cider import CiderD
 from ..utils.eval_utils import (
-    box_iou_accuracy, build_candidate_arrays, debin_boxes, score_candidates,
+    box_iou_accuracy, debin_boxes, score_candidates_span,
 )
 from .base import Task, iter_batches
 
@@ -74,7 +74,21 @@ class CaptionTask(Task):
                 refs = batch["extras"][i]["caption_refs"].split("&&")
                 gts[str(uid)] = [r.strip() for r in refs]
         score, _ = CiderD().compute_score(gts, res)
-        return {"cider": score, "n": len(res), "predictions": res}
+        out = {"cider": score, "n": len(res), "predictions": res}
+        try:  # BLEU via sacrebleu (ref: caption.py:139-163 eval_bleu path)
+            import sacrebleu
+
+            max_refs = max(len(r) for r in gts.values())
+            ref_streams = [
+                [gts[i][k] if k < len(gts[i]) else gts[i][0] for i in res]
+                for k in range(max_refs)
+            ]
+            out["bleu4"] = sacrebleu.corpus_bleu(
+                [res[i] for i in res], ref_streams
+            ).score
+        except Exception:
+            pass
+        return out
 
 
 class RefcocoTask(Task):
@@ -134,11 +148,17 @@ class RefcocoTask(Task):
 class AllCandTask(Task):
     """Shared machinery for closed-vocabulary tasks (VQA / SNLI-VE /
     ImageNet / GLUE): score every candidate answer with teacher forcing +
-    constraint masks, argmax (ref: tasks/mm_tasks/vqa_gen.py:244-310)."""
+    constraint masks, argmax (ref: tasks/mm_tasks/vqa_gen.py:244-310).
+
+    Candidates are scored in host-level chunks (ref valid_batch_size=20) with
+    span-sliced logits, so the 3129-answer VQA set fits: memory per call is
+    [B, chunk, Tc, V] with Tc = answer length + 1, never [*, T, V].
+    """
 
     name = ""
     answers: List[str] = []
     prompt_type = "prev_output"
+    valid_batch_size = 20  # candidates per scoring call (ref default)
 
     def __init__(self, *a, answers: Optional[Sequence[str]] = None, **kw):
         super().__init__(*a, **kw)
@@ -148,41 +168,80 @@ class AllCandTask(Task):
         self._ans_enc = [
             self.vocab.encode_text(" " + a.strip()) for a in self.answers
         ]
-
-    def score_fn(self, model_cfg, use_masks: bool = True):
-        @jax.jit
-        def run(params, src, imgs, masks, prev, target, cmask):
-            enc = ofa.encode(params, model_cfg, src, imgs, masks)
-            return score_candidates(params, model_cfg, enc, prev, target, cmask)
-
-        @jax.jit
-        def run_text(params, src, prev, target, cmask):
-            enc = ofa.encode(params, model_cfg, src)
-            return score_candidates(params, model_cfg, enc, prev, target, cmask)
-
-        return run, run_text
-
-    def candidate_arrays(self, src_rows: List[np.ndarray], cand_len: int):
-        """Build [B, C, T] prev/target/masks for prompt_type=prev_output."""
         v = self.vocab
-        B, C = len(src_rows), len(self.answers)
-        Tp = max(len(s) for s in src_rows) - 1
-        T = Tp + cand_len + 1
-        prev = np.full((B, C, T), v.pad, np.int32)
-        target = np.full((B, C, T), v.pad, np.int32)
-        masks = np.zeros((B, C, T, v.padded_size), bool)
-        for b, src in enumerate(src_rows):
-            p, t, m = build_candidate_arrays(
-                v, self.answers, src[:-1], pad_to=T, trie=self.trie
+        C = len(self.answers)
+        self.Tc = max(len(e) for e in self._ans_enc) + 1  # + eos
+        self._ans_target = np.full((C, self.Tc), v.pad, np.int32)
+        self._ans_nodes = np.full((C, self.Tc), -1, np.int32)
+        for c, e in enumerate(self._ans_enc):
+            seq = list(e) + [v.eos]
+            self._ans_target[c, : len(seq)] = seq
+            node = np.asarray([0], np.int32)
+            for i, t in enumerate(seq):
+                self._ans_nodes[c, i] = node[0]
+                node = np.asarray(
+                    self.trie.transition(
+                        jnp.asarray(node), jnp.asarray([t], jnp.int32)
+                    )
+                )
+        self._chunk_mask_cache: dict = {}
+
+    def _chunk_masks(self, c0: int, c1: int) -> np.ndarray:
+        """[chunk, Tc, V] constraint masks for candidates c0:c1 (cached)."""
+        key = (c0, c1)
+        if key not in self._chunk_mask_cache:
+            v = self.vocab
+            nodes = self._ans_nodes[c0:c1].reshape(-1)
+            masks = np.asarray(
+                self.trie.allowed_mask(jnp.asarray(nodes), v.padded_size)
+            ).reshape(c1 - c0, self.Tc, v.padded_size)
+            # pad positions (target == pad) are unsupervised; leave masks as-is
+            self._chunk_mask_cache[key] = masks
+        return self._chunk_mask_cache[key]
+
+    def make_score_fn(self, model_cfg):
+        @functools.partial(jax.jit, static_argnames=())
+        def encode_fn(params, src, imgs, masks):
+            return ofa.encode(params, model_cfg, src, imgs, masks)
+
+        @jax.jit
+        def encode_text_fn(params, src):
+            return ofa.encode(params, model_cfg, src)
+
+        @jax.jit
+        def score_fn(params, enc_x, enc_pad, enc_pos, prev, ans_pos, ans_target, ans_masks):
+            enc = ofa.EncoderOut(enc_x, enc_pad, enc_pos)
+            return score_candidates_span(
+                params, model_cfg, enc, prev, ans_pos, ans_target, ans_masks
             )
-            prev[b], target[b], masks[b] = p, t, m
-        return prev, target, masks
+
+        return encode_fn, encode_text_fn, score_fn
+
+    def _assemble_prev(self, src_rows: List[np.ndarray], chunk_enc: List[np.ndarray],
+                       padded_src: int):
+        """[B, chunk, T] decoder inputs + [B, Tc] answer-span positions for
+        prompt_type=prev_output (ref: vqa_gen_dataset.py:162-173). T is keyed
+        on the bucketed source width so jit shapes stay stable."""
+        v = self.vocab
+        B, C = len(src_rows), len(chunk_enc)
+        T = padded_src - 1 + self.Tc
+        prev = np.full((B, C, T), v.pad, np.int32)
+        ans_pos = np.zeros((B, self.Tc), np.int32)
+        for b, src in enumerate(src_rows):
+            L = len(src) - 1  # drop final eos
+            prev[b, :, :L] = src[:-1]
+            for c, e in enumerate(chunk_enc):
+                prev[b, c, L : L + len(e)] = e
+            ans_pos[b] = (L - 1) + np.arange(self.Tc)
+        return prev, ans_pos
 
     def _eval_common(self, params, model_cfg, dataset, batch_size, limit, with_image):
         v = self.vocab
-        run, run_text = self.score_fn(model_cfg)
-        cand_len = max(len(e) for e in self._ans_enc)
+        encode_fn, encode_text_fn, score_fn = self.make_score_fn(model_cfg)
+        C = len(self.answers)
+        chunk = min(self.valid_batch_size, C)
         n_correct, n_total, soft_sum = 0, 0, 0.0
+        pairs: List[tuple] = []
         builder = self.builder("valid")
         for batch in iter_batches(
             dataset, builder, batch_size, v.pad, limit=limit, drop_last=True
@@ -191,31 +250,52 @@ class AllCandTask(Task):
                 np.asarray([t for t in row if t != v.pad], np.int32)
                 for row in batch["src_tokens"]
             ]
-            prev, target, masks = self.candidate_arrays(src_rows, cand_len)
             if with_image:
-                scores = run(
+                enc = encode_fn(
                     params,
                     jnp.asarray(batch["src_tokens"]),
                     jnp.asarray(batch["patch_images"], jnp.float32),
                     jnp.asarray(batch["patch_masks"]),
-                    jnp.asarray(prev), jnp.asarray(target), jnp.asarray(masks),
                 )
             else:
-                scores = run_text(
-                    params, jnp.asarray(batch["src_tokens"]),
-                    jnp.asarray(prev), jnp.asarray(target), jnp.asarray(masks),
+                enc = encode_text_fn(params, jnp.asarray(batch["src_tokens"]))
+            all_scores = []
+            for c0 in range(0, C, chunk):
+                c1 = min(c0 + chunk, C)
+                idxs = list(range(c0, c1))
+                # keep static chunk shape: repeat last candidate as filler
+                while len(idxs) < chunk:
+                    idxs.append(c1 - 1)
+                enc_chunk = [self._ans_enc[i] for i in idxs]
+                prev, ans_pos = self._assemble_prev(
+                    src_rows, enc_chunk, batch["src_tokens"].shape[1]
                 )
-            pred_idx = np.asarray(jnp.argmax(scores, axis=1))
+                tgt = self._ans_target[idxs]
+                msk = self._chunk_masks(c0, c1)
+                if c1 - c0 < chunk:
+                    msk = np.concatenate(
+                        [msk, np.repeat(msk[-1:], chunk - (c1 - c0), axis=0)]
+                    )
+                scores = score_fn(
+                    params, enc.x, enc.padding_mask, enc.pos_embed,
+                    jnp.asarray(prev), jnp.asarray(ans_pos),
+                    jnp.asarray(tgt), jnp.asarray(msk),
+                )
+                all_scores.append(np.asarray(scores)[:, : c1 - c0])
+            scores = np.concatenate(all_scores, axis=1)  # [B, C]
+            pred_idx = scores.argmax(axis=1)
             for i, e in enumerate(batch["extras"]):
                 pred = self.answers[pred_idx[i]]
                 ref = e.get("ref_dict", {e.get("label"): 1.0})
                 soft_sum += ref.get(pred, 0.0)
                 n_correct += int(pred == max(ref, key=ref.get))
                 n_total += 1
+                pairs.append((pred, max(ref, key=ref.get)))
         return {
             "acc": n_correct / max(1, n_total),
             "soft_score": soft_sum / max(1, n_total),
             "n": n_total,
+            "pairs": pairs,
         }
 
 
@@ -307,38 +387,23 @@ class GlueTask(AllCandTask):
     def evaluate(self, params, model_cfg, dataset, batch_size=8, limit=None):
         out = self._eval_common(params, model_cfg, dataset, batch_size, limit, False)
         if self.glue_task == "cola":
-            out["mcc"] = self._mcc(params, model_cfg, dataset, batch_size, limit)
+            out["mcc"] = self._mcc(out.pop("pairs"))
+        else:
+            out.pop("pairs", None)
         return out
 
-    def _mcc(self, params, model_cfg, dataset, batch_size, limit):
-        # Matthews corr needs the confusion matrix; re-run cheaply
-        v = self.vocab
-        _, run_text = self.score_fn(model_cfg)
-        cand_len = max(len(e) for e in self._ans_enc)
+    @staticmethod
+    def _mcc(pairs):
+        """Matthews correlation from (pred, ref) yes/no pairs
+        (ref: tasks/nlu_tasks/cola.py:107-160)."""
         tp = fp = tn = fn = 0
-        for batch in iter_batches(
-            dataset, self.builder("valid"), batch_size, v.pad, limit=limit, drop_last=True
-        ):
-            src_rows = [
-                np.asarray([t for t in row if t != v.pad], np.int32)
-                for row in batch["src_tokens"]
-            ]
-            prev, target, masks = self.candidate_arrays(src_rows, cand_len)
-            scores = run_text(
-                params, jnp.asarray(batch["src_tokens"]),
-                jnp.asarray(prev), jnp.asarray(target), jnp.asarray(masks),
-            )
-            pred_idx = np.asarray(jnp.argmax(scores, axis=1))
-            for i, e in enumerate(batch["extras"]):
-                pred = self.answers[pred_idx[i]] == "yes"
-                ref = e["label"] == "yes"
-                tp += pred and ref
-                fp += pred and not ref
-                tn += (not pred) and (not ref)
-                fn += (not pred) and ref
-        denom = np.sqrt(
-            float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
-        )
+        for pred, ref in pairs:
+            p, r = pred == "yes", ref == "yes"
+            tp += p and r
+            fp += p and not r
+            tn += (not p) and (not r)
+            fn += (not p) and r
+        denom = np.sqrt(float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
         return (tp * tn - fp * fn) / denom if denom > 0 else 0.0
 
 

@@ -55,6 +55,17 @@ def box_iou_accuracy(hyps: np.ndarray, refs: np.ndarray, thresh: float = 0.5) ->
 # snli_ve.py:165-228, image_classify.py:104-265)
 # ---------------------------------------------------------------------------
 
+def _score_chunk(params, cfg, enc_tiled, prev, target, masks):
+    B_C, T = prev.shape
+    logits = ofa.decode(params, cfg, prev, enc_tiled).astype(jnp.float32)
+    if masks is not None:
+        logits = jnp.where(masks, logits, -1e9)
+    lprobs = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(lprobs, target[..., None], axis=-1)[..., 0]
+    keep = target != cfg.pad
+    return jnp.sum(jnp.where(keep, tok_lp, 0.0), axis=-1)
+
+
 def score_candidates(
     params,
     cfg: ModelConfig,
@@ -62,28 +73,95 @@ def score_candidates(
     cand_prev: jnp.ndarray,  # [B, C, T] decoder inputs (prompt + candidate)
     cand_target: jnp.ndarray,  # [B, C, T] targets, pad except candidate span
     cand_masks: Optional[jnp.ndarray] = None,  # [B, C, T, V] constraint masks
+    chunk_size: Optional[int] = None,  # candidates scored per decoder pass
 ) -> jnp.ndarray:
     """Teacher-forced log-prob score of every candidate → [B, C].
 
     The reference's "allcand" closed-vocabulary scoring: encode once, tile the
-    encoder output over candidates, one batched decoder pass, sum constrained
-    lprobs over the candidate span. Mean-per-token scoring (the reference
-    divides by span length via masked mean — vqa_gen.py:304-309 uses sum; the
-    final argmax is over sums) — we return sums.
+    encoder output over candidates, batched decoder passes, sum constrained
+    lprobs over the candidate span (ref: vqa_gen.py:244-310 with
+    valid_batch_size=20 chunks). ``chunk_size`` bounds the [B·chunk, T, V]
+    logits materialization for large answer sets (3129 VQA answers).
     """
     B, C, T = cand_prev.shape
+    if chunk_size is None or chunk_size >= C:
+        enc_tiled = tile_encoder_out(encoder_out, C)
+        masks = cand_masks.reshape(B * C, T, -1) if cand_masks is not None else None
+        scores = _score_chunk(
+            params, cfg, enc_tiled, cand_prev.reshape(B * C, T),
+            cand_target.reshape(B * C, T), masks,
+        )
+        return scores.reshape(B, C)
+
+    # pad C to a chunk multiple; padded candidates get -inf
+    n_chunks = -(-C // chunk_size)
+    Cp = n_chunks * chunk_size
+    padn = Cp - C
+    prev = jnp.pad(cand_prev, ((0, 0), (0, padn), (0, 0)), constant_values=cfg.pad)
+    target = jnp.pad(cand_target, ((0, 0), (0, padn), (0, 0)), constant_values=cfg.pad)
+    masks = (
+        jnp.pad(cand_masks, ((0, 0), (0, padn), (0, 0), (0, 0)), constant_values=True)
+        if cand_masks is not None
+        else None
+    )
+    enc_tiled = tile_encoder_out(encoder_out, chunk_size)
+
+    # [n_chunks, B*chunk, T]
+    def to_chunks(a):
+        return (
+            a.reshape(B, n_chunks, chunk_size, *a.shape[2:])
+            .swapaxes(0, 1)
+            .reshape(n_chunks, B * chunk_size, *a.shape[2:])
+        )
+
+    prev_c, target_c = to_chunks(prev), to_chunks(target)
+    if masks is not None:
+        masks_c = to_chunks(masks)
+        xs = (prev_c, target_c, masks_c)
+        body = lambda x: _score_chunk(params, cfg, enc_tiled, x[0], x[1], x[2])
+    else:
+        xs = (prev_c, target_c)
+        body = lambda x: _score_chunk(params, cfg, enc_tiled, x[0], x[1], None)
+    scores = jax.lax.map(body, xs)  # [n_chunks, B*chunk]
+    scores = (
+        scores.reshape(n_chunks, B, chunk_size).swapaxes(0, 1).reshape(B, Cp)
+    )
+    return jnp.where(jnp.arange(C)[None, :] < C, scores[:, :C], -jnp.inf)
+
+
+def score_candidates_span(
+    params,
+    cfg: ModelConfig,
+    encoder_out: ofa.EncoderOut,  # [B, ...]
+    cand_prev: jnp.ndarray,  # [B, C, T] prompt + candidate decoder inputs
+    ans_pos: jnp.ndarray,  # [B, Tc] target positions of the answer span
+    ans_target: jnp.ndarray,  # [C, Tc] answer tokens + eos, pad-padded
+    ans_masks: Optional[jnp.ndarray] = None,  # [C, Tc, V] constraint masks
+) -> jnp.ndarray:
+    """Memory-bounded allcand scoring: logits are sliced to the answer span
+    before masking/softmax, so the [*, T, V] full-sequence lprobs (the
+    reference's repeat_interleave blowup, vqa_gen.py:286-295) never
+    materialize. Masks depend only on (candidate, span position) — one
+    [C, Tc, V] table shared across the batch. → scores [B, C].
+    """
+    B, C, T = cand_prev.shape
+    Tc = ans_pos.shape[1]
     enc_tiled = tile_encoder_out(encoder_out, C)
-    prev = cand_prev.reshape(B * C, T)
-    logits = ofa.decode(params, cfg, prev, enc_tiled)  # [B*C, T, V]
-    logits = logits.astype(jnp.float32)
-    if cand_masks is not None:
-        logits = jnp.where(cand_masks.reshape(B * C, T, -1), logits, -1e9)
+    feats = ofa.decode(
+        params, cfg, cand_prev.reshape(B * C, T), enc_tiled, features_only=True
+    )  # [B*C, T, d]
+    span_idx = jnp.repeat(ans_pos, C, axis=0)  # [B*C, Tc]
+    feats_span = jnp.take_along_axis(feats, span_idx[..., None], axis=1)
+    logits = ofa.output_layer(params, cfg, feats_span).astype(jnp.float32)
+    logits = logits.reshape(B, C, Tc, -1)
+    if ans_masks is not None:
+        logits = jnp.where(ans_masks[None], logits, -1e9)
     lprobs = jax.nn.log_softmax(logits, axis=-1)
-    tgt = cand_target.reshape(B * C, T)
-    tok_lp = jnp.take_along_axis(lprobs, tgt[..., None], axis=-1)[..., 0]
-    keep = tgt != cfg.pad
-    scores = jnp.sum(jnp.where(keep, tok_lp, 0.0), axis=-1)
-    return scores.reshape(B, C)
+    tok_lp = jnp.take_along_axis(
+        lprobs, jnp.broadcast_to(ans_target[None, :, :, None], (B, C, Tc, 1)), axis=-1
+    )[..., 0]
+    keep = ans_target != cfg.pad
+    return jnp.sum(jnp.where(keep[None], tok_lp, 0.0), axis=-1)
 
 
 def build_candidate_arrays(

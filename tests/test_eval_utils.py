@@ -85,3 +85,24 @@ def test_cider_length_penalty():
     s_full, per_full = cider.compute_score(gts, res_full)
     assert per_full["1"] > per_short["1"]
     assert s_full > s_short
+
+
+def test_chunked_scoring_matches_full():
+    from musketeer_tpu.utils.eval_utils import score_candidates
+
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    B, C, T = 2, 7, 5
+    rng = np.random.RandomState(4)
+    prev = rng.randint(4, 100, (B, C, T)).astype(np.int32)
+    prev[:, :, 0] = cfg.bos
+    target = np.concatenate(
+        [prev[:, :, 1:], np.full((B, C, 1), cfg.eos)], -1
+    ).astype(np.int32)
+    full = score_candidates(params, cfg, enc, jnp.asarray(prev), jnp.asarray(target))
+    chunked = score_candidates(
+        params, cfg, enc, jnp.asarray(prev), jnp.asarray(target), chunk_size=3
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=2e-3, atol=2e-3)

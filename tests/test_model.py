@@ -166,3 +166,51 @@ def test_jit_forward(tiny):
     assert logits.shape == (2, 4, cfg.padded_vocab_size)
     l2 = ofa.forward(params, cfg, src, prev, imgs, masks)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(l2), rtol=1e-4, atol=1e-4)
+
+
+def test_drop_path_train_vs_eval(tiny):
+    """Stochastic depth: active only in training mode, identity at eval."""
+    from dataclasses import replace as rp
+
+    cfg, params = tiny
+    cfg_dp = rp(cfg, encoder_drop_path_rate=0.5, decoder_drop_path_rate=0.5)
+    src, imgs, masks = make_batch(cfg)
+    prev = jnp.full((2, 4), 7, jnp.int32)
+    # eval: identical to no-drop-path config
+    l_eval = ofa.forward(params, cfg_dp, src, prev, imgs, masks)
+    l_base = ofa.forward(params, cfg, src, prev, imgs, masks)
+    np.testing.assert_allclose(np.asarray(l_eval), np.asarray(l_base), rtol=1e-5, atol=1e-5)
+    # train: different across rng draws
+    rng = jax.random.PRNGKey(0)
+    l1 = ofa.forward(params, cfg_dp, src, prev, imgs, masks, rngs=rng, deterministic=False)
+    l2 = ofa.forward(
+        params, cfg_dp, src, prev, imgs, masks,
+        rngs=jax.random.PRNGKey(1), deterministic=False,
+    )
+    assert np.abs(np.asarray(l1, np.float32) - np.asarray(l2, np.float32)).max() > 1e-3
+
+
+def test_prefix_prompts():
+    """Prefix prompt tuning: prompts change outputs; causality preserved."""
+    from dataclasses import replace as rp
+
+    cfg = tiny_cfg(encoder_prompt=True, encoder_prompt_length=4,
+                   decoder_prompt=True, decoder_prompt_length=4)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    assert "prompt_embedding" in params["encoder"]
+    assert params["decoder"]["prompt_embedding"].shape == (4, cfg.decoder_layers * 2 * cfg.embed_dim)
+    src, imgs, masks = make_batch(cfg)
+    prev = jnp.asarray(np.random.RandomState(1).randint(4, 100, (2, 6)), jnp.int32)
+    l1 = ofa.forward(params, cfg, src, prev, imgs, masks)
+    # zeroing prompt embeddings changes the logits
+    p2 = dict(params)
+    p2["encoder"] = {**params["encoder"], "prompt_embedding": jnp.zeros_like(params["encoder"]["prompt_embedding"])}
+    l2 = ofa.forward(p2, cfg, src, prev, imgs, masks)
+    assert np.abs(np.asarray(l1, np.float32) - np.asarray(l2, np.float32)).max() > 1e-5
+    # causality still holds with decoder prompts
+    prev2 = prev.at[:, 4].set(9)
+    l3 = ofa.forward(params, cfg, src, prev2, imgs, masks)
+    np.testing.assert_allclose(
+        np.asarray(l1[:, :4], np.float32), np.asarray(l3[:, :4], np.float32),
+        rtol=1e-4, atol=1e-4,
+    )

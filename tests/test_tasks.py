@@ -127,3 +127,24 @@ def test_musketeer_loader_and_train(tiny, vocab, tmp_path):
         assert np.isfinite(float(metrics["loss"]))
         steps += 1
     assert steps == loader.steps_per_epoch() and steps >= 1
+
+
+def test_musketeer_loader_skip_steps(vocab, tmp_path):
+    cap = write_tsv(
+        tmp_path / "cap2.tsv",
+        [[str(i), fake_image_b64(32, 32), f"thing number {i}"] for i in range(8)],
+    )
+    loader = MusketeerDataLoader(
+        vocab,
+        [SubTaskSpec("caption", cap, batch_size=2, src_len=16, tgt_len=8,
+                     task_kwargs={"patch_image_size": 32})],
+        description="base",
+    )
+    full = list(loader.epoch_iterator(shuffle=True))
+    resumed = list(loader.epoch_iterator(shuffle=True, skip_steps=2))
+    assert len(resumed) == len(full) - 2
+    # resumed batches continue the same deterministic order
+    np.testing.assert_array_equal(
+        np.asarray(full[2]["caption"].src_tokens),
+        np.asarray(resumed[0]["caption"].src_tokens),
+    )
