@@ -41,6 +41,7 @@ def batch_to_taskbatch(batch: Dict[str, Any], accum: bool = False) -> TaskBatch:
         constraint_masks=get("constraint_masks"),
         conf=get("conf"),
         code_masks=get("code_masks"),
+        sample_patch_order=get("sample_patch_order"),
     )
 
 

@@ -40,6 +40,9 @@ class SubTaskSpec:
     batch_size: int = 2
     src_len: Optional[int] = None  # static bucket lengths (None = per-batch)
     tgt_len: Optional[int] = None
+    # train-time image patch subsampling (ref: sample_patch_num=196 injected
+    # into the head batch, label_smoothed_cross_entropy.py:177-181)
+    sample_patch_num: Optional[int] = None
     task_kwargs: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -138,12 +141,18 @@ class MusketeerDataLoader:
             for _ in range(self.update_freq):
                 for spec in self.specs:
                     exs = [next_example(spec.name) for _ in range(spec.batch_size)]
-                    step_batches[spec.name].append(
-                        collate(
-                            exs, pad_id=self.vocab.pad,
-                            src_len=spec.src_len, tgt_len=spec.tgt_len,
-                        )
+                    b = collate(
+                        exs, pad_id=self.vocab.pad,
+                        src_len=spec.src_len, tgt_len=spec.tgt_len,
                     )
+                    if spec.sample_patch_num and "patch_images" in b:
+                        grid = b["patch_images"].shape[1] // 16
+                        n = grid * grid
+                        k = min(spec.sample_patch_num, n)
+                        b["sample_patch_order"] = np.stack(
+                            [rng.permutation(n)[:k] for _ in range(spec.batch_size)]
+                        ).astype(np.int32)
+                    step_batches[spec.name].append(b)
             yield {
                 name: _stack_micro(
                     [batch_to_taskbatch(b) for b in micro_list]
