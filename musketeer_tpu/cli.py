@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import sys
 
 logging.basicConfig(
     level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
@@ -147,6 +146,47 @@ def cmd_evaluate(args):
     print(json.dumps({"task": args.task, **{k: v for k, v in metrics.items()}}))
 
 
+def cmd_evaluate_all(args):
+    """Evaluate every task of a Musketeer checkpoint in one invocation —
+    the reference's per-task evaluate.sh sweep (+ ckpt retargeting,
+    checkpoint_utils.py:448-451) collapsed into one command.
+
+    --tasks caption=path.tsv,refcoco=path.tsv,... (same syntax as train)
+    """
+    import jax
+
+    from .config import ARCH_PRESETS
+    from .data import FileDataset
+    from .tasks import TASK_REGISTRY
+    from .tokenization import default_vocab
+    from .training.checkpoint import import_pt
+    from .models import ofa
+
+    vocab = default_vocab()
+    model_cfg = ARCH_PRESETS[args.arch]()
+    if args.pt:
+        params, model_cfg = import_pt(args.pt, None)
+        params = jax.tree.map(jax.numpy.asarray, params)
+    else:
+        logger.warning("no checkpoint given; evaluating random init")
+        params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
+
+    results = {}
+    for item in args.tasks.split(","):
+        name, path = item.split("=", 1)
+        task_kw = {}
+        if name not in ("gigaword", "cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli"):
+            task_kw["patch_image_size"] = args.patch_image_size
+        task = TASK_REGISTRY[name](vocab, description=args.description, **task_kw)
+        ds = FileDataset(path, shard_id=jax.process_index(), num_shards=jax.process_count())
+        m = task.evaluate(params, model_cfg, ds, batch_size=args.batch_size, limit=args.limit)
+        m.pop("predictions", None)
+        m.pop("pairs", None)
+        results[name] = m
+        logger.info("%s: %s", name, m)
+    print(json.dumps(results))
+
+
 def cmd_convert(args):
     from .training.checkpoint import import_pt, save_checkpoint
     from .config import OptimConfig
@@ -201,6 +241,12 @@ def main(argv=None):
     pe.add_argument("--pt", default=None, help="reference fairseq .pt checkpoint")
     pe.add_argument("--answers-file", default=None)
     pe.set_defaults(fn=cmd_evaluate)
+
+    pa = sub.add_parser("evaluate-all")
+    _add_common(pa)
+    pa.add_argument("--tasks", required=True, help="name=path.tsv[,name=path...]")
+    pa.add_argument("--pt", default=None)
+    pa.set_defaults(fn=cmd_evaluate_all)
 
     pc = sub.add_parser("convert")
     pc.add_argument("--pt", required=True)

@@ -25,7 +25,6 @@ forcing :600-631, min/max length, unk penalty, n-gram repeat blocking
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -82,8 +81,8 @@ def _apply_no_repeat_ngram(lprobs, tokens_flat, step, ngram: int):
     # context = last n-1 generated tokens: positions step-(n-2) .. step
     # candidate bans: token at i+n-1 where tokens[i:i+n-1] == context
     idx = jnp.arange(L - n + 1)
-    valid = idx + n - 1 <= step  # the banned position must already exist? no:
-    # an n-gram (i .. i+n-1) was *seen* iff i+n-1 <= step
+    # an n-gram (positions i .. i+n-1) was *seen* iff i+n-1 <= step
+    valid = idx + n - 1 <= step
     match = jnp.ones((N, L - n + 1), bool)
     for j in range(n - 1):
         ctx_j = jnp.take_along_axis(

@@ -8,7 +8,7 @@ box-decode helper for qualitative eval.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +16,6 @@ import numpy as np
 
 from ..config import GenerationConfig
 from ..data.detection import DetectionBuilder
-from ..generation import beam_search
 from ..models import ofa
 from ..utils.eval_utils import debin_boxes
 from .base import Task, iter_batches

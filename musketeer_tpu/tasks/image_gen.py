@@ -11,13 +11,13 @@ task still generates/evaluates code sequences (token-level metrics only).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import GenerationConfig, ModelConfig
+from ..config import GenerationConfig
 from ..data import task_data as D
 from ..generation import beam_search
 from ..models import ofa

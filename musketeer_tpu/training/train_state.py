@@ -8,7 +8,7 @@ Optimizer state inherits parameter shardings, so fsdp>1 gives ZeRO for free.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..config import TrainConfig
 from .checkpoint import CheckpointManager
