@@ -152,12 +152,14 @@ def beam_search(
     Vp = cfg.padded_vocab_size
     T = max_len + 2
 
-    enc_tiled = tile_encoder_out(encoder_out, K)
     code_masks = (
         jnp.ones((B * K,), bool) if code_masks_value else None
     )
+    # untiled encoder: cross K/V, bias and pad mask are beam-shared inside
+    # decode_step (cuts per-step cross-attn HBM traffic by the beam factor)
     dec_state = ofa.init_decoder_state(
-        params, cfg, enc_tiled, max_len=max_len + 1, code_masks=code_masks
+        params, cfg, encoder_out, max_len=max_len + 1, code_masks=code_masks,
+        beam_size=K,
     )
 
     if gen_cfg.sampling:

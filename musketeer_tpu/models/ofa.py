@@ -615,13 +615,15 @@ def encode(
 
         def layer_body(x, layer_in):
             layer_p, token_table, image_table, dp_rate = layer_in
-            rel = jnp.zeros((H, S, S), jnp.float32)
+            # built directly in compute dtype: the kernel consumes bf16 rel,
+            # so an fp32 intermediate would just add a [H,S,S] convert pass
+            rel = jnp.zeros((H, S, S), dtype)
             rel = rel.at[:, S - T :, S - T :].set(
-                token_table[token_rp].transpose(2, 0, 1)
+                token_table[token_rp].transpose(2, 0, 1).astype(dtype)
             )
             if N:
                 rel = rel.at[:, :N, :N].set(
-                    image_table[image_rp].transpose(2, 0, 1)
+                    image_table[image_rp].transpose(2, 0, 1).astype(dtype)
                 )
             fwd = lambda xx: _encoder_layer(
                 layer_p, cfg, xx, None, padding_mask,
@@ -881,16 +883,25 @@ def _decoder_layer(
             dropout_rate=cfg.attention_dropout, rng=dr(2), deterministic=deterministic,
         )
     else:
+        # beam-shared cross attention: K/V, bias and pad mask are stored once
+        # per SAMPLE ([B, ...]); query rows are B*K beams → reshape and share
+        rows = h.shape[0]
+        Bs = cache["cross_k"].shape[0]
+        Kb = rows // Bs
         q = _split_heads(_linear(p["encoder_attn"]["q_proj"], h) * scaling, H)
+        qb = q.reshape(Bs, Kb, H, q.shape[2], q.shape[3])
+        ck = cache["cross_k"].astype(q.dtype)
         w = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, cache["cross_k"].astype(q.dtype),
-            preferred_element_type=jnp.float32,
+            "bkhqd,bhsd->bkhqs", qb, ck, preferred_element_type=jnp.float32,
         )
-        w = w + cross_bias.astype(jnp.float32)
-        w = jnp.where(enc_pad[:, None, None, :], -jnp.inf, w)
+        w = w + cross_bias.astype(jnp.float32)[:, None]
+        w = jnp.where(enc_pad[:, None, None, None, :], -jnp.inf, w)
         probs = jax.nn.softmax(w, axis=-1)
         probs = jnp.where(jnp.isnan(probs), 0.0, probs).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, cache["cross_v"].astype(x.dtype))
+        out = jnp.einsum(
+            "bkhqs,bhsd->bkhqd", probs, cache["cross_v"].astype(x.dtype)
+        )
+        out = out.reshape(rows, H, out.shape[3], out.shape[4])
         out = _merge_heads(out)
         if "c_attn" in p["encoder_attn"]:
             b, t, _ = out.shape
@@ -1091,16 +1102,34 @@ def init_decoder_state(
     encoder_out: EncoderOut,
     max_len: int,
     code_masks: Optional[jnp.ndarray] = None,
+    beam_size: int = 1,
 ) -> DecoderState:
-    """Precompute everything reusable across decode steps."""
+    """Precompute everything reusable across decode steps.
+
+    With ``beam_size`` > 1, pass the UNTILED encoder output: the cross-attn
+    K/V, bias, and padding mask are identical across a sample's beams, so
+    they are stored once per sample and shared inside ``decode_step`` —
+    otherwise the tiled cross K/V dominates per-step HBM traffic
+    (L·B·K·H·S·hd reads every step). Self-attn state is per beam row.
+    """
     dec = params["decoder"]
     B, S, _ = encoder_out.x.shape
+    rows = B * beam_size
     dtype = jnp.dtype(cfg.dtype)
     H, hd, L = cfg.attention_heads, cfg.head_dim, cfg.decoder_layers
 
-    tgt_pos_embed, self_bias, cross_bias = _decoder_pos_setup(
-        params, cfg, B, max_len, encoder_out.pos_embed, code_masks, dtype
+    # cross bias / pos setup over the UNtiled batch; code_masks per row → per
+    # sample (beams share the sample's code mask; callers pass row-level masks)
+    sample_code_masks = (
+        code_masks[::beam_size] if code_masks is not None else None
     )
+    tgt_pos_embed_s, self_bias_s, cross_bias = _decoder_pos_setup(
+        params, cfg, B, max_len, encoder_out.pos_embed, sample_code_masks, dtype
+    )
+    # per-row copies for self-attn side (tiny: [rows, H, T, T] with T=max_len)
+    tgt_pos_embed = jnp.repeat(tgt_pos_embed_s, beam_size, axis=0)
+    self_bias = jnp.repeat(self_bias_s, beam_size, axis=0)
+
     rel_tok, rel_img = _decoder_rel_bias(params, cfg, max_len, code_masks)
     if code_masks is None:
         rel = rel_tok[:, None]  # [L, 1, H, T, T]
@@ -1109,7 +1138,7 @@ def init_decoder_state(
             code_masks[None, :, None, None, None], rel_img[:, None], rel_tok[:, None]
         )
 
-    # precompute per-layer cross K/V from encoder output
+    # precompute per-layer cross K/V from the untiled encoder output
     enc_x = encoder_out.x.astype(dtype)
 
     def cross_kv(layer_p):
@@ -1120,16 +1149,16 @@ def init_decoder_state(
     cross_k, cross_v = jax.vmap(cross_kv)(dec["layers"])  # [L, B, H, S, hd]
 
     cache = {
-        "self_k": jnp.zeros((L, B, H, max_len, hd), dtype),
-        "self_v": jnp.zeros((L, B, H, max_len, hd), dtype),
+        "self_k": jnp.zeros((L, rows, H, max_len, hd), dtype),
+        "self_v": jnp.zeros((L, rows, H, max_len, hd), dtype),
         "cross_k": cross_k,
         "cross_v": cross_v,
     }
     return DecoderState(
         cache=cache,
-        enc_pad=encoder_out.padding_mask,
+        enc_pad=encoder_out.padding_mask,  # [B, S] untiled
         self_bias_full=self_bias,
-        cross_bias_full=cross_bias,
+        cross_bias_full=cross_bias,  # [B, H, T, S] untiled
         rel_full=rel,
         tgt_pos_embed=tgt_pos_embed,
     )
