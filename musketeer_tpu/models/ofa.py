@@ -27,7 +27,6 @@ Numerics notes (must match the reference for checkpoint parity):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
