@@ -185,8 +185,8 @@ class OptimConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
-    weight_decay: float = 0.01
-    clip_norm: float = 1.0
+    weight_decay: float = 0.01  # decoupled (adamw), matching fairseq adam
+    clip_norm: float = 0.1  # ref: train_musketeer.sh:136
     power: float = 1.0  # polynomial decay power
 
 

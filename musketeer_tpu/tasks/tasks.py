@@ -24,13 +24,6 @@ from ..utils.eval_utils import (
 from .base import Task, iter_batches
 
 
-def _pad_rows(rows: List[np.ndarray], pad: int, length: int) -> np.ndarray:
-    out = np.full((len(rows), length), pad, np.int32)
-    for i, r in enumerate(rows):
-        out[i, : min(len(r), length)] = r[:length]
-    return out
-
-
 class CaptionTask(Task):
     """COCO caption: beam=5 gen + CIDEr-D (ref: tasks/mm_tasks/caption.py,
     run_scripts/caption/evaluate_caption_base.sh:36-57)."""

@@ -80,3 +80,55 @@ def test_scst_loss_direction():
     l_low_n, _ = scst_loss(logits_low, targets, -adv)
     l_high_n, _ = scst_loss(logits_high, targets, -adv)
     assert l_high_n > l_low_n
+
+
+def test_scst_full_step():
+    """Full SCST update: sample -> CIDEr reward -> policy-gradient step."""
+    from musketeer_tpu.config import GenerationConfig, OptimConfig
+    from musketeer_tpu.criterions.scst import make_scst_fns, scst_train_step
+    from musketeer_tpu.training import init_train_state, make_optimizer
+    from musketeer_tpu.tokenization import default_vocab
+    from tests.test_data import fake_image_b64
+    from musketeer_tpu.data import CaptionBuilder, collate
+
+    vocab = default_vocab()
+    cfg = tiny_cfg(vocab_size=59457, padded_vocab_size=59520)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    optim = OptimConfig(lr=1e-4, warmup_updates=1, total_updates=10)
+    state = init_train_state(params, optim)
+    tx = make_optimizer(optim)
+    gen_cfg = GenerationConfig(beam_size=3, max_len_b=6, min_len=1, sampling=True)
+    sample_fn, grad_fn = make_scst_fns(cfg, gen_cfg, tx)
+
+    b = CaptionBuilder(vocab, description="base", split="valid", scst=True,
+                       patch_image_size=32)
+    exs = [b([str(i), fake_image_b64(32, 32), f"a small toy {i}&&toy {i}"])
+           for i in range(2)]
+    batch = collate(exs, pad_id=vocab.pad, src_len=16, tgt_len=16)
+    state2, metrics = scst_train_step(
+        state, vocab, sample_fn, grad_fn, batch, jax.random.PRNGKey(7), max_len=6
+    )
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["scst_loss"]))
+    assert "mean_reward" in metrics
+
+    # with a hand-set nonzero advantage (random models earn ~0 CIDEr so the
+    # natural advantage vanishes) the PG step must move the params
+    B, K, T = 2, 3, 7
+    rngs = np.random.RandomState(0)
+    prev = np.full((B, K, T), vocab.pad, np.int32)
+    tgt = np.full((B, K, T), vocab.pad, np.int32)
+    prev[:, :, 0] = vocab.bos
+    prev[:, :, 1:4] = rngs.randint(4, 50000, (B, K, 3))
+    tgt[:, :, :3] = prev[:, :, 1:4]
+    tgt[:, :, 3] = vocab.eos
+    adv = np.ones((B, K), np.float32)
+    state3, m2 = grad_fn(
+        state2, jnp.asarray(batch["src_tokens"]),
+        jnp.asarray(batch["patch_images"], jnp.float32),
+        jnp.asarray(batch["patch_masks"]),
+        jnp.asarray(prev), jnp.asarray(tgt), jnp.asarray(adv),
+    )
+    d = jax.tree.leaves(jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), state2.params, state3.params))
+    assert max(d) > 0

@@ -148,3 +148,21 @@ def test_musketeer_loader_skip_steps(vocab, tmp_path):
         np.asarray(full[2]["caption"].src_tokens),
         np.asarray(resumed[0]["caption"].src_tokens),
     )
+
+
+def test_vqa_allcand_with_images_chunked(tiny, vocab, tmp_path):
+    """Full VQA allcand path: 30 answers, chunked span scoring with images."""
+    from musketeer_tpu.data import FileDataset
+    from musketeer_tpu.tasks import VqaTask
+
+    answers = [f"answer{i}" for i in range(28)] + ["yes", "no"]
+    rows = []
+    for i in range(2):
+        ref = f"1.0|!+{answers[i]}&&0.3|!+{answers[i+1]}"
+        rows.append([str(i), fake_image_b64(32, 32), f"what is item {i}", ref])
+    p = write_tsv(tmp_path / "vqa.tsv", rows)
+    task = VqaTask(vocab, description="base", patch_image_size=32, answers=answers)
+    assert len(task.answers) == 30 and task.valid_batch_size == 20  # 2 chunks
+    out = task.evaluate(tiny[1], tiny[0], FileDataset(p), batch_size=2)
+    assert out["n"] == 2
+    assert 0.0 <= out["soft_score"] <= 1.0
