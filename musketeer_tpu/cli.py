@@ -88,12 +88,40 @@ def cmd_train(args):
     else:
         params = ofa.init_ofa_params(jax.random.PRNGKey(cfg.seed), model_cfg)
 
+    # validation: by default Musketeer monitors SNLI-VE only
+    # (ref: musketeer_task.py:545-559); override with --valid-task/--valid-data
+    validate_fn = None
+    if args.valid_data:
+        from .data import FileDataset
+        from .tasks import TASK_REGISTRY
+
+        vname = args.valid_task or "snli_ve"
+        vkw = (
+            {"patch_image_size": args.patch_image_size}
+            if vname not in ("gigaword", "cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli")
+            else {}
+        )
+        vtask = TASK_REGISTRY[vname](vocab, description=args.description, **vkw)
+        vds = FileDataset(
+            args.valid_data, shard_id=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+
+        def validate_fn(state):
+            m = vtask.evaluate(
+                state.params, model_cfg, vds,
+                batch_size=args.batch_size, limit=args.valid_limit,
+            )
+            metric = m.get("acc", m.get("cider", m.get("acc@0.5", 0.0)))
+            logger.info("valid %s: %s", vname, {k: v for k, v in m.items() if k not in ("pairs", "predictions")})
+            return float(metric)
+
     mesh = make_mesh(cfg.mesh)
     with jax.set_mesh(mesh):
         params = shard_params(mesh, params)
         state = init_train_state(params, cfg.optim, ema_decay=cfg.ema_decay)
         state = train_loop(
-            cfg, model_cfg, state, loader,
+            cfg, model_cfg, state, loader, validate_fn=validate_fn,
             save_dir=args.save_dir, max_epoch=args.max_epoch,
         )
     logger.info("done at update %d", int(state.step))
@@ -142,7 +170,16 @@ def cmd_evaluate(args):
     metrics = task.evaluate(
         params, model_cfg, dataset, batch_size=args.batch_size, limit=args.limit
     )
-    metrics.pop("predictions", None)
+    preds = metrics.pop("predictions", None)
+    metrics.pop("pairs", None)
+    if args.results_json and preds is not None:
+        # dump per-example predictions (the reference's test_predict.json,
+        # ref: run_scripts/caption/evaluate_caption_base.sh + coco_eval.py)
+        with open(args.results_json, "w") as f:
+            json.dump(
+                [{"image_id": k, "caption": v} for k, v in preds.items()], f
+            )
+        logger.info("wrote %d predictions to %s", len(preds), args.results_json)
     print(json.dumps({"task": args.task, **{k: v for k, v in metrics.items()}}))
 
 
@@ -231,6 +268,10 @@ def main(argv=None):
     pt.add_argument("--model-parallel", type=int, default=1)
     pt.add_argument("--src-bucket", type=int, default=None)
     pt.add_argument("--tgt-bucket", type=int, default=None)
+    pt.add_argument("--valid-task", default=None,
+                    help="validation task (default snli_ve, the reference quirk)")
+    pt.add_argument("--valid-data", default=None, help="validation TSV")
+    pt.add_argument("--valid-limit", type=int, default=None)
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("evaluate")
@@ -240,6 +281,8 @@ def main(argv=None):
     pe.add_argument("--ckpt", default=None)
     pe.add_argument("--pt", default=None, help="reference fairseq .pt checkpoint")
     pe.add_argument("--answers-file", default=None)
+    pe.add_argument("--results-json", default=None,
+                    help="dump per-example predictions (test_predict.json style)")
     pe.set_defaults(fn=cmd_evaluate)
 
     pa = sub.add_parser("evaluate-all")
