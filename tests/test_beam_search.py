@@ -204,3 +204,24 @@ def test_no_repeat_ngram(tiny):
     seq = [int(t) for t in np.asarray(tokens[0, 0]) if t != cfg.pad][:-1]
     bigrams = list(zip(seq, seq[1:]))
     assert len(bigrams) == len(set(bigrams)), f"repeated bigram in {seq}"
+
+
+def test_no_repeat_trigram(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=1, T=6, seed=11)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    gen_cfg = GenerationConfig(beam_size=2, max_len_b=16, min_len=14,
+                               no_repeat_ngram_size=3)
+    tokens, _ = beam_search(params, cfg, gen_cfg, enc, max_len=16)
+    seq = [int(t) for t in np.asarray(tokens[0, 0]) if t != cfg.pad][:-1]
+    tris = list(zip(seq, seq[1:], seq[2:]))
+    assert len(tris) == len(set(tris)), f"repeated trigram in {seq}"
+
+
+def test_sampling_requires_rng(tiny):
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    gen_cfg = GenerationConfig(beam_size=2, max_len_b=4, sampling=True)
+    with pytest.raises(AssertionError):
+        beam_search(params, cfg, gen_cfg, enc, max_len=4)

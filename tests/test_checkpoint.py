@@ -60,3 +60,24 @@ def test_early_stopper():
     assert s.should_stop(0.55)  # run 2 → stop
     s2 = EarlyStopper(patience=-1, maximize=True)
     assert not s2.should_stop(0.1)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, cpu_devices):
+    """Save/restore with mesh-sharded params (orbax + NamedSharding)."""
+    import jax.numpy as jnp
+    from musketeer_tpu.config import MeshConfig
+    from musketeer_tpu.parallel import make_mesh, shard_params
+
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2, model=1))
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, params)
+        state = init_train_state(sp, OptimConfig())._replace(step=jnp.int32(5))
+        save_checkpoint(str(tmp_path), state, "sharded")
+        template = init_train_state(sp, OptimConfig())
+        restored, _ = load_checkpoint(str(tmp_path), template, "sharded")
+    assert int(restored.step) == 5
+    a = jax.tree.leaves(state.params)[3]
+    b = jax.tree.leaves(restored.params)[3]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
