@@ -87,6 +87,10 @@ class ModelConfig:
     # Falls back to XLA attention when preconditions don't hold (dropout,
     # per-sample patch subsampling, per-sample code_masks).
     use_flash_attention: bool = False
+    # GPipe pipeline parallelism over the mesh 'pipe' axis: encoder/decoder
+    # layer stacks run as P stages with this many microbatches (0 = off;
+    # requires use_flash_attention, a 'pipe' mesh axis, and B % M == 0)
+    pipeline_microbatches: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -209,20 +213,21 @@ class CriterionConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh layout. data × fsdp × model (tensor) axes."""
+    """Device mesh layout. data × fsdp × model (tensor) × pipe axes."""
 
     data: int = -1  # -1: all remaining devices
     fsdp: int = 1
     model: int = 1
+    pipe: int = 1  # pipeline stages (GPipe over layer stacks)
 
-    def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
-        d, f, m = self.data, self.fsdp, self.model
+    def axis_sizes(self, n_devices: int) -> Tuple[int, int, int, int]:
+        d, f, m, p = self.data, self.fsdp, self.model, self.pipe
         if d == -1:
-            d = n_devices // (f * m)
-        assert d * f * m == n_devices, (
-            f"mesh {d}x{f}x{m} != {n_devices} devices"
+            d = n_devices // (f * m * p)
+        assert d * f * m * p == n_devices, (
+            f"mesh {d}x{f}x{m}x{p} != {n_devices} devices"
         )
-        return d, f, m
+        return d, f, m, p
 
 
 @dataclass(frozen=True)

@@ -424,6 +424,21 @@ def attention(
 # encoder
 # ---------------------------------------------------------------------------
 
+def _active_pipe_mesh(cfg: ModelConfig):
+    """The context mesh when pipeline mode is on and usable, else None."""
+    if cfg.pipeline_microbatches <= 0:
+        return None
+    try:
+        mesh = jax.sharding.get_mesh()
+    except Exception:
+        return None
+    if mesh is None or getattr(mesh, "empty", False):
+        return None
+    if "pipe" not in mesh.shape or mesh.shape["pipe"] <= 1:
+        return None
+    return mesh
+
+
 def _dec_dpr(cfg: ModelConfig) -> jnp.ndarray:
     return jnp.linspace(0.0, cfg.decoder_drop_path_rate, cfg.decoder_layers)
 
@@ -674,7 +689,45 @@ def encode(
     )
     if cfg.encoder_prompt:
         xs = xs + (enc_prompt_kv,)
-    x, _ = jax.lax.scan(layer_body, x, xs)
+
+    pipe_mesh = _active_pipe_mesh(cfg) if (use_flash and rngs is None) else None
+    if pipe_mesh is not None:
+        # GPipe over the layer stack: microbatch payloads flow stage-to-stage
+        from ..parallel.pipeline import pipeline_scan
+
+        M = cfg.pipeline_microbatches
+        assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+        payload = {"x": x, "pad": padding_mask, "pos_q": pos_q, "pos_k": pos_k}
+        payload_mb = jax.tree.map(
+            lambda a: a.reshape((M, B // M) + a.shape[1:]), payload
+        )
+        consts = image_rp if N else jnp.zeros((1, 1), jnp.int32)
+        token_rp_c = token_rp  # traced constant, passed explicitly
+        Hh = cfg.attention_heads
+
+        def pipe_body(pl, layer_in, consts_in):
+            layer_p, token_table, image_table, _dp = layer_in
+            image_rp_c = consts_in
+            rel = jnp.zeros((Hh, S, S), dtype)
+            rel = rel.at[:, S - T :, S - T :].set(
+                token_table[token_rp_c].transpose(2, 0, 1).astype(dtype)
+            )
+            if N:
+                rel = rel.at[:, :N, :N].set(
+                    image_table[image_rp_c].transpose(2, 0, 1).astype(dtype)
+                )
+            new_x = _encoder_layer(
+                layer_p, cfg, pl["x"], None, pl["pad"],
+                deterministic=True, flash=(pl["pos_q"], pl["pos_k"], rel),
+            )
+            return {**pl, "x": new_x}
+
+        out = pipeline_scan(
+            pipe_body, payload_mb, xs[:4], pipe_mesh, "pipe", consts=consts
+        )
+        x = out["x"].reshape((B,) + out["x"].shape[2:])
+    else:
+        x, _ = jax.lax.scan(layer_body, x, xs)
 
     x = _layer_norm(enc["layer_norm"], x)
     return EncoderOut(x=x, padding_mask=padding_mask, pos_embed=pos_for_bias)

@@ -27,14 +27,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MeshConfig
 
-DATA, FSDP, MODEL = "data", "fsdp", "model"
+DATA, FSDP, MODEL, PIPE = "data", "fsdp", "model", "pipe"
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    d, f, m = cfg.axis_sizes(len(devices))
-    arr = np.asarray(devices).reshape(d, f, m)
-    return Mesh(arr, (DATA, FSDP, MODEL))
+    d, f, m, pp = cfg.axis_sizes(len(devices))
+    arr = np.asarray(devices).reshape(d, f, m, pp)
+    return Mesh(arr, (DATA, FSDP, MODEL, PIPE))
 
 
 # ---------------------------------------------------------------------------
@@ -117,8 +117,14 @@ def _tree_paths(tree, prefix=""):
             yield path, v
 
 
+def _is_layer_stacked(path: str) -> bool:
+    """Leaves whose leading axis is the transformer layer axis."""
+    return ".layers." in path or path.endswith("rel_pos_table")
+
+
 def param_shardings(mesh: Mesh, params) -> Any:
     """Pytree of NamedShardings matching `params`."""
+    pipe_on = PIPE in mesh.shape and mesh.shape[PIPE] > 1
 
     def walk(tree, prefix=""):
         out = {}
@@ -129,7 +135,13 @@ def param_shardings(mesh: Mesh, params) -> Any:
             elif v is None:
                 out[k] = None
             else:
-                spec = _fit_spec(param_spec(path, np.ndim(v)), np.shape(v), mesh)
+                spec = param_spec(path, np.ndim(v))
+                if pipe_on and _is_layer_stacked(path) and np.ndim(v) >= 1:
+                    # pipeline stages own contiguous layer shards
+                    rest = list(spec[1:]) if len(spec) > 1 else []
+                    rest += [None] * (np.ndim(v) - 1 - len(rest))
+                    spec = P(PIPE, *rest)
+                spec = _fit_spec(spec, np.shape(v), mesh)
                 out[k] = NamedSharding(mesh, spec)
         return out
 

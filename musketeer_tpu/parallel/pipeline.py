@@ -3,23 +3,25 @@
 The reference only forwards a pipeline_model_parallel flag to fairseq
 (ref: trainer.py:110-122); here the primitive is TPU-native: stacked layer
 parameters are sharded on their LAYER axis across the ``pipe`` mesh axis,
-microbatches flow stage-to-stage over ICI with ``jax.lax.ppermute``, and the
-whole schedule is one jitted program.
+microbatch payloads flow stage-to-stage over ICI with ``jax.lax.ppermute``,
+and the whole schedule is one jitted program.
 
-Schedule (M microbatches, P stages, M ≥ P): at clock t, stage s processes
+Schedule (M microbatches, P stages, M ≥ 1): at clock t, stage s processes
 microbatch (t - s) when 0 ≤ t - s < M; total M + P - 1 clocks. Bubble
 fraction = (P-1)/(M+P-1).
 
-``pipeline_scan`` is the building block: it replaces a
-``lax.scan(body, x, layers)`` over L stacked layers with a P-stage pipeline,
-each stage scanning its local L/P layers. Equivalence with the plain scan is
-tested on the virtual CPU mesh.
+``pipeline_scan`` replaces ``lax.scan(body, x, layers)`` over L stacked
+layers with a P-stage pipeline, each stage scanning its local L/P layers.
+The unit flowing between stages is an arbitrary activation PYTREE (payload);
+``consts`` are replicated stage-invariant inputs (masks, positional
+projections). Equivalence with the plain scan is tested on the virtual CPU
+mesh; the model wiring lives in models/ofa.py behind
+``ModelConfig.pipeline_microbatches``.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,18 +29,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def pipeline_scan(
-    body: Callable[[jnp.ndarray, Any], jnp.ndarray],
-    x_microbatches: jnp.ndarray,  # [M, mb, ...] replicated input microbatches
+    body: Callable[[Any, Any, Any], Any],  # (payload, one_layer_xs, consts) -> payload
+    payload_mb: Any,  # pytree, leaves [M, ...] (replicated microbatches)
     layer_xs: Any,  # pytree with leading layer axis [L, ...]
     mesh: Mesh,
     axis_name: str = "pipe",
-) -> jnp.ndarray:
-    """Run `body` over all L layers as a P-stage pipeline → [M, mb, ...].
+    consts: Any = None,  # replicated stage-invariant pytree
+) -> Any:
+    """Run `body` over all L layers as a P-stage pipeline → payload [M, ...].
 
-    body(x, one_layer_xs) -> x  (one layer's forward)
-    Requires L % P == 0 and M ≥ 1. Output is fully replicated.
+    Requires L % P == 0. Output is fully replicated.
     """
-    M = x_microbatches.shape[0]
+    M = jax.tree.leaves(payload_mb)[0].shape[0]
     P_stages = mesh.shape[axis_name]
     L = jax.tree.leaves(layer_xs)[0].shape[0]
     assert L % P_stages == 0, f"layers {L} not divisible by stages {P_stages}"
@@ -47,58 +49,64 @@ def pipeline_scan(
     layer_xs = jax.tree.map(
         lambda a: jax.lax.with_sharding_constraint(a, layer_sharding), layer_xs
     )
+    if consts is None:
+        consts = ()
 
-    def stage_fn(local_layers, x_mb):
-        # inside shard_map: local_layers leading dim = L/P
+    def stage_fn(local_layers, pl_mb, consts):
         s = jax.lax.axis_index(axis_name)
         n_clock = M + P_stages - 1
 
-        def run_local(x):
+        def run_local(pl):
             def scan_body(h, one):
-                return body(h, one), None
+                return body(h, one, consts), None
 
-            out, _ = jax.lax.scan(scan_body, x, local_layers)
+            out, _ = jax.lax.scan(scan_body, pl, local_layers)
             return out
 
-        zero = jnp.zeros_like(x_mb[0])
-        outputs = jnp.zeros_like(x_mb)
+        zero_pl = jax.tree.map(lambda a: jnp.zeros_like(a[0]), pl_mb)
+        outputs = jax.tree.map(jnp.zeros_like, pl_mb)
 
         def clock(t, carry):
             incoming, outputs = carry
-            # stage 0 ingests microbatch t; others use the incoming buffer
             mb_idx = jnp.clip(t, 0, M - 1)
-            x_in = jnp.where(s == 0, x_mb[mb_idx], incoming)
+            pl_in = jax.tree.map(
+                lambda mb, inc: jnp.where(s == 0, mb[mb_idx], inc),
+                pl_mb, incoming,
+            )
             active = jnp.logical_and(t - s >= 0, t - s < M)
-            y = run_local(x_in)
-            y = jnp.where(active, y, zero)
-            # last stage writes its finished microbatch (index t - (P-1))
+            y = run_local(pl_in)
+            y = jax.tree.map(
+                lambda a, z: jnp.where(active, a, z), y, zero_pl
+            )
             out_idx = jnp.clip(t - (P_stages - 1), 0, M - 1)
             write = jnp.logical_and(s == P_stages - 1, active)
-            outputs = jax.lax.dynamic_update_index_in_dim(
-                outputs,
-                jnp.where(write, y, outputs[out_idx]),
-                out_idx,
-                axis=0,
+            outputs = jax.tree.map(
+                lambda outs, a: jax.lax.dynamic_update_index_in_dim(
+                    outs, jnp.where(write, a, outs[out_idx]), out_idx, axis=0
+                ),
+                outputs, y,
             )
-            # pass activations to the next stage over ICI
-            nxt = jax.lax.ppermute(
-                y, axis_name,
-                [(i, (i + 1) % P_stages) for i in range(P_stages)],
+            nxt = jax.tree.map(
+                lambda a: jax.lax.ppermute(
+                    a, axis_name,
+                    [(i, (i + 1) % P_stages) for i in range(P_stages)],
+                ),
+                y,
             )
             return nxt, outputs
 
-        _, outputs = jax.lax.fori_loop(0, n_clock, clock, (zero, outputs))
+        _, outputs = jax.lax.fori_loop(0, n_clock, clock, (zero_pl, outputs))
         # non-last stages never write → their buffers are zero; psum replicates
         # the last stage's outputs to every stage
-        return jax.lax.psum(outputs, axis_name)
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis_name), outputs)
 
     from jax.experimental.shard_map import shard_map
 
     fn = shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P(axis_name), P()),
+        in_specs=(P(axis_name), P(), P()),
         out_specs=P(),
         check_rep=False,
     )
-    return fn(layer_xs, x_microbatches)
+    return fn(layer_xs, payload_mb, consts)
