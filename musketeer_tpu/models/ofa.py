@@ -1092,7 +1092,47 @@ def decode(
             xs = (dec["layers"], rel_tok, _dec_dpr(cfg))
         else:
             xs = (dec["layers"], rel_tok, rel_img, _dec_dpr(cfg))
-    x, _ = jax.lax.scan(layer_body, x, xs)
+
+    pipe_mesh = _active_pipe_mesh(cfg) if (use_flash and rngs is None) else None
+    if pipe_mesh is not None:
+        from ..parallel.pipeline import pipeline_scan
+
+        M = cfg.pipeline_microbatches
+        assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+        token_rp_dec = jnp.asarray(
+            pos_lib.make_token_bucket_position(
+                cfg.token_bucket_size, cfg.max_target_positions
+            )
+        )[:T, :T]
+        payload = {
+            "x": x, "self_pad": self_pad,
+            "pos_q": pos_q, "pos_k": pos_k,
+            "cross_pos_q": cross_pos_q, "cross_pos_k": cross_pos_k,
+            "enc_x": enc_x, "enc_pad": enc_pad,
+        }
+        payload_mb = jax.tree.map(
+            lambda a: a.reshape((M, B // M) + a.shape[1:]), payload
+        )
+
+        def pipe_body(pl, layer_in, _consts):
+            layer_p, token_table, _dp = layer_in
+            rel = token_table[token_rp_dec].transpose(2, 0, 1).astype(jnp.float32)
+            new_x = _decoder_layer(
+                layer_p, cfg, pl["x"], None, None, pl["enc_x"], pl["enc_pad"],
+                pl["self_pad"], causal_offset=None, deterministic=True,
+                flash=(pl["pos_q"], pl["pos_k"], rel,
+                       pl["cross_pos_q"], pl["cross_pos_k"]),
+            )[0]
+            return {**pl, "x": new_x}
+
+        out = pipeline_scan(
+            pipe_body, payload_mb,
+            (dec["layers"], dec["token_rel_pos_table"], _dec_dpr(cfg)),
+            pipe_mesh, "pipe",
+        )
+        x = out["x"].reshape((B,) + out["x"].shape[2:])
+    else:
+        x, _ = jax.lax.scan(layer_body, x, xs)
     x = _layer_norm(dec["layer_norm"], x)
     if features_only:
         return x

@@ -115,3 +115,31 @@ def test_encoder_pipeline_grads(cpu_devices):
     f2, _ = ravel_pytree(jax.device_get(g_pipe))
     scale = float(jnp.abs(f1).max()) + 1e-9
     assert float(jnp.abs(f1 - f2).max()) / scale < 1e-3
+
+
+def test_full_model_pipeline_parity(cpu_devices):
+    """forward() (encoder + decoder pipelined) == plain forward."""
+    from dataclasses import replace
+
+    from musketeer_tpu.config import MeshConfig
+    from musketeer_tpu.models import ofa
+    from musketeer_tpu.parallel import make_mesh, shard_params
+    from tests.test_model import make_batch, tiny_cfg
+
+    cfg = tiny_cfg(use_flash_attention=True)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    src, imgs, masks = make_batch(cfg, B=4)
+    prev = jnp.asarray(np.random.RandomState(5).randint(4, 100, (4, 6)), jnp.int32)
+
+    ref = ofa.forward(params, cfg, src, prev, imgs, masks)
+
+    cfg_p = replace(cfg, pipeline_microbatches=2)
+    mesh = make_mesh(MeshConfig(data=4, fsdp=1, model=1, pipe=2))
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, params)
+        out = jax.jit(lambda p: ofa.forward(p, cfg_p, src, prev, imgs, masks))(sp)
+    np.testing.assert_allclose(
+        np.asarray(ref[..., : cfg.vocab_size], np.float32),
+        np.asarray(out[..., : cfg.vocab_size], np.float32),
+        rtol=5e-4, atol=5e-4,
+    )
