@@ -690,7 +690,16 @@ def encode(
     if cfg.encoder_prompt:
         xs = xs + (enc_prompt_kv,)
 
-    pipe_mesh = _active_pipe_mesh(cfg) if (use_flash and rngs is None) else None
+    # pipeline usable with rngs only when nothing consumes them in-layer
+    _no_reg = (
+        cfg.dropout == 0.0 and cfg.attention_dropout == 0.0
+        and cfg.activation_dropout == 0.0 and not enc_dp
+    )
+    pipe_mesh = (
+        _active_pipe_mesh(cfg)
+        if (use_flash and (rngs is None or _no_reg))
+        else None
+    )
     if pipe_mesh is not None:
         # GPipe over the layer stack: microbatch payloads flow stage-to-stage
         from ..parallel.pipeline import pipeline_scan
@@ -1093,7 +1102,15 @@ def decode(
         else:
             xs = (dec["layers"], rel_tok, rel_img, _dec_dpr(cfg))
 
-    pipe_mesh = _active_pipe_mesh(cfg) if (use_flash and rngs is None) else None
+    _no_reg_dec = (
+        cfg.dropout == 0.0 and cfg.attention_dropout == 0.0
+        and cfg.activation_dropout == 0.0 and not dec_dp
+    )
+    pipe_mesh = (
+        _active_pipe_mesh(cfg)
+        if (use_flash and (rngs is None or _no_reg_dec))
+        else None
+    )
     if pipe_mesh is not None:
         from ..parallel.pipeline import pipeline_scan
 
