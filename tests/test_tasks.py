@@ -166,3 +166,34 @@ def test_vqa_allcand_with_images_chunked(tiny, vocab, tmp_path):
     out = task.evaluate(tiny[1], tiny[0], FileDataset(p), batch_size=2)
     assert out["n"] == 2
     assert 0.0 <= out["soft_score"] <= 1.0
+
+
+def test_gigaword_eval(tiny, vocab, tmp_path):
+    from musketeer_tpu.data import FileDataset
+    from musketeer_tpu.tasks import TASK_REGISTRY
+
+    p = write_tsv(
+        tmp_path / "giga.tsv",
+        [["the stock market rose sharply after positive news today",
+          "market rises"] for _ in range(2)],
+    )
+    task = TASK_REGISTRY["gigaword"](vocab, description="base")
+    out = task.evaluate(tiny[1], tiny[0], FileDataset(p), batch_size=2)
+    assert set(out) >= {"rouge1", "rouge2", "rougeL"}
+    assert all(0.0 <= out[k] <= 1.0 for k in ("rouge1", "rouge2", "rougeL"))
+
+
+def test_image_classify_eval(tiny, vocab, tmp_path):
+    from musketeer_tpu.data import FileDataset
+    from musketeer_tpu.tasks import TASK_REGISTRY
+
+    classes = ["tabby cat", "golden retriever", "sports car", "teapot"]
+    p = write_tsv(
+        tmp_path / "imnet.tsv",
+        [[str(i), fake_image_b64(32, 32), classes[i % 4]] for i in range(4)],
+    )
+    task = TASK_REGISTRY["image_classify"](
+        vocab, description="base", patch_image_size=32, answers=classes
+    )
+    out = task.evaluate(tiny[1], tiny[0], FileDataset(p), batch_size=2)
+    assert out["n"] == 4 and 0.0 <= out["acc"] <= 1.0
