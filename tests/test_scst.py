@@ -132,3 +132,125 @@ def test_scst_full_step():
     d = jax.tree.leaves(jax.tree.map(
         lambda a, c: float(jnp.abs(a - c).max()), state2.params, state3.params))
     assert max(d) > 0
+
+
+def test_clip_scst_full_step():
+    """CLIP-SCST: sample codes -> VQGAN decode -> CLIP reward -> PG step,
+    with tiny synthetic CLIP/VQGAN weights via the torch converters."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from dataclasses import replace
+
+    from musketeer_tpu.config import GenerationConfig, OptimConfig
+    from musketeer_tpu.criterions import clip_scst_train_step
+    from musketeer_tpu.criterions.scst import make_scst_fns
+    from musketeer_tpu.models.clip import convert_clip_state_dict
+    from musketeer_tpu.models.vqgan import convert_vqgan_state_dict
+    from musketeer_tpu.tasks.image_gen import ImageGenTask
+    from musketeer_tpu.tokenization import default_vocab
+    from musketeer_tpu.training import init_train_state, make_optimizer
+    from musketeer_tpu.data import ImageGenBuilder, collate
+
+    vocab = default_vocab()
+    # code_image_size=32 → 2x2 code grid (4 codes per image)
+    cfg = tiny_cfg(vocab_size=59457, padded_vocab_size=59520, code_image_size=32)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+
+    # tiny CLIP/VQGAN built from the parity-test fixture modules
+    torch.manual_seed(0)
+    import tests.test_clip_vqgan as tcv
+
+    # CLIP
+    d, h, L, patch, res, emb = 32, 4, 1, 8, 16, 16
+    tw, tl, th, ctx, vs = 32, 1, 4, 77, 49408
+
+    class MiniClip(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+
+            class V(torch.nn.Module):
+                pass
+
+            self.visual = V()
+            self.visual.conv1 = torch.nn.Conv2d(3, d, patch, patch, bias=False)
+            self.visual.class_embedding = torch.nn.Parameter(torch.randn(d) * 0.02)
+            self.visual.positional_embedding = torch.nn.Parameter(
+                torch.randn((res // patch) ** 2 + 1, d) * 0.02
+            )
+            self.visual.ln_pre = torch.nn.LayerNorm(d)
+            self.visual.transformer = torch.nn.Module()
+            self.visual.transformer.resblocks = torch.nn.ModuleList(
+                [tcv._ClipBlock(d, h) for _ in range(L)]
+            )
+            self.visual.ln_post = torch.nn.LayerNorm(d)
+            self.visual.proj = torch.nn.Parameter(torch.randn(d, emb) * 0.02)
+            self.token_embedding = torch.nn.Embedding(vs, tw)
+            self.positional_embedding = torch.nn.Parameter(torch.randn(ctx, tw) * 0.02)
+            self.transformer = torch.nn.Module()
+            self.transformer.resblocks = torch.nn.ModuleList(
+                [tcv._ClipBlock(tw, th) for _ in range(tl)]
+            )
+            self.ln_final = torch.nn.LayerNorm(tw)
+            self.text_projection = torch.nn.Parameter(torch.randn(tw, emb) * 0.02)
+            self.logit_scale = torch.nn.Parameter(torch.tensor(2.6593))
+
+    clip_params, clip_cfg = convert_clip_state_dict(MiniClip().state_dict())
+    from dataclasses import replace as rp
+
+    clip_cfg = rp(clip_cfg, vision_heads=h, transformer_heads=th)
+
+    # tiny VQGAN with an 8192 codebook (codes must cover the vocab code region)
+    zc, ch = 32, 32
+
+    class MiniVQ(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.quantize = torch.nn.Module()
+            self.quantize.embedding = torch.nn.Embedding(8192, zc)
+            self.post_quant_conv = torch.nn.Conv2d(zc, zc, 1)
+
+            class Dec(torch.nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.conv_in = torch.nn.Conv2d(zc, ch, 3, 1, 1)
+                    self.mid = torch.nn.Module()
+                    self.mid.block_1 = tcv._Res(ch, ch)
+                    self.mid.attn_1 = tcv._Attn(ch)
+                    self.mid.block_2 = tcv._Res(ch, ch)
+                    self.up = torch.nn.ModuleList()
+                    up0 = torch.nn.Module()
+                    up0.block = torch.nn.ModuleList([tcv._Res(ch, ch), tcv._Res(ch, ch)])
+                    self.up.append(up0)
+                    self.norm_out = tcv._gn(ch)
+                    self.conv_out = torch.nn.Conv2d(ch, 3, 3, 1, 1)
+
+            self.decoder = Dec()
+
+    vq_params, vq_cfg = convert_vqgan_state_dict(MiniVQ().state_dict())
+
+    task = ImageGenTask(
+        vocab, description="base", code_image_size=32,
+        clip_params=clip_params, clip_cfg=clip_cfg,
+        vqgan_params=vq_params, vqgan_cfg=vq_cfg,
+    )
+    # batch of 2 prompts
+    b = ImageGenBuilder(vocab, description="base")
+    rngs = np.random.RandomState(0)
+    exs = [b([str(i), f"a tiny blue shape {i}",
+              " ".join(str(c) for c in rngs.randint(0, 8192, 4))]) for i in range(2)]
+    batch = collate(exs, pad_id=vocab.pad, src_len=16, tgt_len=8)
+
+    optim = OptimConfig(lr=1e-4, warmup_updates=1, total_updates=10)
+    state = init_train_state(params, optim)
+    tx = make_optimizer(optim)
+    gen_cfg = task.generation_config()
+    gen_cfg = rp(gen_cfg, beam_size=2, sampling=True)
+    task.sampling_times = 2
+    _, grad_fn = make_scst_fns(cfg, gen_cfg, tx, gen_code=True)
+    state2, metrics = clip_scst_train_step(
+        state, vocab, task, grad_fn, batch, cfg, jax.random.PRNGKey(3)
+    )
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["scst_loss"]))
+    assert "mean_clip_reward" in metrics
