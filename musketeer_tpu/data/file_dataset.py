@@ -49,6 +49,7 @@ class FileDataset:
         self._shard_rows = np.arange(shard_id, self.total_row_count, num_shards)
         self.row_count = len(self._shard_rows)  # mutable (eq-sampling truncation)
         self._fh = None
+        self._native = None  # lazy NativeTsv for batched reads
 
     def _build_or_load_index(self, cached: bool) -> np.ndarray:
         idx_path = self.file_path + ".idx.npy"
@@ -104,7 +105,39 @@ class FileDataset:
             cols = [cols[i] for i in self.selected_col_ids]
         return cols
 
+    def get_batch(self, indices: Sequence[int]) -> List[List[str]]:
+        """Batched fetch: one native C call for all rows (falls back to the
+        per-row Python path). Indices are shard-local, like ``__getitem__``."""
+        rows = self._shard_rows[np.asarray(indices, np.int64) % self.row_count]
+        lines = self._native_rows(rows)
+        if lines is None:
+            return [self[int(i)] for i in indices]
+        out = []
+        for line in lines:
+            cols = line.rstrip("\r\n").split(self.separator)
+            if self.selected_col_ids is not None:
+                cols = [cols[i] for i in self.selected_col_ids]
+            out.append(cols)
+        return out
+
+    def _native_rows(self, rows: np.ndarray) -> Optional[List[str]]:
+        if self._native is False:
+            return None
+        try:
+            if self._native is None:
+                from ..native import NativeTsv, available
+
+                if not available():
+                    self._native = False
+                    return None
+                self._native = NativeTsv(self.file_path)
+            return self._native.rows(rows)
+        except Exception:
+            self._native = False
+            return None
+
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_fh"] = None  # file handles don't pickle (dataloader workers)
+        state["_native"] = None  # native handles don't pickle either
         return state

@@ -1257,9 +1257,28 @@ def init_decoder_state(
 
     cross_k, cross_v = jax.vmap(cross_kv)(dec["layers"])  # [L, B, H, S, hd]
 
+    if cfg.decoder_prompt:
+        # Prefix-tuning: seed the first P cache slots with the prompt K/V so
+        # every decode step attends over [prompt | generated-so-far]. The
+        # positional bias gets P zero columns (prompt keys carry no pos bias,
+        # ref: attn_weights[:, :, -src_len:] += attn_bias) and decode_step
+        # writes new K/V at index P+step (derived from the shape delta).
+        P = cfg.decoder_prompt_length
+        pkv = _prompt_kv(
+            dec["prompt_embedding"], L, H, hd, rows, dtype
+        )  # [L, 2, rows, H, P, hd]
+        zeros_tail = jnp.zeros((L, rows, H, max_len, hd), dtype)
+        self_k = jnp.concatenate([pkv[:, 0], zeros_tail], axis=3)
+        self_v = jnp.concatenate([pkv[:, 1], zeros_tail], axis=3)
+        self_bias = jnp.pad(self_bias, ((0, 0), (0, 0), (0, 0), (P, 0)))
+        rel = jnp.pad(rel, ((0, 0), (0, 0), (0, 0), (0, 0), (P, 0)))
+    else:
+        self_k = jnp.zeros((L, rows, H, max_len, hd), dtype)
+        self_v = jnp.zeros((L, rows, H, max_len, hd), dtype)
+
     cache = {
-        "self_k": jnp.zeros((L, rows, H, max_len, hd), dtype),
-        "self_v": jnp.zeros((L, rows, H, max_len, hd), dtype),
+        "self_k": self_k,
+        "self_v": self_v,
         "cross_k": cross_k,
         "cross_v": cross_v,
     }
@@ -1296,6 +1315,11 @@ def decode_step(
     cross_bias_t = jax.lax.dynamic_slice_in_dim(state.cross_bias_full, step, 1, axis=2)
     rel_t = jax.lax.dynamic_slice_in_dim(state.rel_full, step, 1, axis=3)  # [L,b,H,1,T]
 
+    # prefix-tuning: cache rows are [prompt | tokens]; new K/V land at P+step
+    # (P derived statically from the cache/pos-table shape delta)
+    prompt_len = state.cache["self_k"].shape[3] - Tmax
+    cache_index = step + prompt_len if prompt_len else step
+
     def layer_body(x, layer_in):
         layer_p, rel_i, self_k, self_v, cross_k, cross_v = layer_in
         cache_i = {
@@ -1305,7 +1329,7 @@ def decode_step(
         bias_i = self_bias_t + rel_i.astype(self_bias_t.dtype)
         x, cache_i = _decoder_layer(
             layer_p, cfg, x, bias_i, cross_bias_t, None, state.enc_pad, None,
-            causal_offset=None, cache=cache_i, cache_index=step,
+            causal_offset=None, cache=cache_i, cache_index=cache_index,
         )
         return x, (cache_i["self_k"], cache_i["self_v"])
 

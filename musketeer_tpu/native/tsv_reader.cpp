@@ -101,6 +101,36 @@ int64_t tsv_read_row(TsvFile* f, int64_t row, char* buf, int64_t bufsize) {
   return len;
 }
 
+// Total byte length of a set of rows (for presizing a batch buffer).
+int64_t tsv_rows_total_len(TsvFile* f, const int64_t* rows, int64_t n) {
+  if (!f) return -1;
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t len = tsv_row_len(f, rows[i]);
+    if (len < 0) return -1;
+    total += len;
+  }
+  return total;
+}
+
+// Batched row read: copies n rows back-to-back into buf, writing each row's
+// byte length into lens[i]. One ctypes call per BATCH instead of two per row
+// (the per-call ctypes overhead dominates for short TSV rows). Returns total
+// bytes copied, or -1 on bad row / insufficient buffer.
+int64_t tsv_read_rows(TsvFile* f, const int64_t* rows, int64_t n, char* buf,
+                      int64_t bufsize, int64_t* lens) {
+  if (!f) return -1;
+  int64_t o = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t len = tsv_row_len(f, rows[i]);
+    if (len < 0 || o + len > bufsize) return -1;
+    memcpy(buf + o, f->data + f->offsets[rows[i]], len);
+    lens[i] = len;
+    o += len;
+  }
+  return o;
+}
+
 void tsv_close(TsvFile* f) {
   if (!f) return;
   if (f->data && f->size > 0)

@@ -129,18 +129,21 @@ class MusketeerDataLoader:
             for name, spec in ((s.name, s) for s in self.specs)
         }
 
-        def next_example(name) -> Example:
+        def next_examples(name, n) -> List[Example]:
+            # batched row fetch: one native C call per micro-batch
             ds = self.datasets[name]
-            i = order[name][cursors[name] % ds.row_count]
-            cursors[name] += 1
-            return self.builders[name](ds[int(i)])
+            c = cursors[name]
+            idx = [order[name][(c + j) % ds.row_count] for j in range(n)]
+            cursors[name] = c + n
+            build = self.builders[name]
+            return [build(cols) for cols in ds.get_batch(idx)]
 
         n_steps = self.steps_per_epoch() - skip_steps
         for _ in range(max(0, n_steps)):
             step_batches: Dict[str, List[Dict]] = {s.name: [] for s in self.specs}
             for _ in range(self.update_freq):
                 for spec in self.specs:
-                    exs = [next_example(spec.name) for _ in range(spec.batch_size)]
+                    exs = next_examples(spec.name, spec.batch_size)
                     b = collate(
                         exs, pad_id=self.vocab.pad,
                         src_len=spec.src_len, tgt_len=spec.tgt_len,

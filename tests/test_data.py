@@ -46,6 +46,39 @@ def test_file_dataset_sharding(tmp_path):
     assert sel[10] == ["col0"]
 
 
+def test_file_dataset_batched_read(tmp_path):
+    """get_batch (native one-call path) == per-row __getitem__."""
+    p = tmp_path / "batch.tsv"
+    rows = [f"id{i}\tpayload-{i}\textra{i}" for i in range(25)]
+    p.write_text("\n".join(rows) + "\n")
+    ds = FileDataset(str(p), selected_col_ids=[0, 1])
+    idx = [0, 24, 7, 7, 3, 30]  # dup + wraparound
+    batch = ds.get_batch(idx)
+    assert batch == [ds[i] for i in idx]
+    assert batch[1] == ["id24", "payload-24"]
+    assert batch[-1] == ds[30 % 25]
+    assert ds.get_batch([]) == []
+    # sharded view maps shard-local indices
+    s1 = FileDataset(str(p), shard_id=1, num_shards=3)
+    assert s1.get_batch([0, 1]) == [s1[0], s1[1]]
+
+
+def test_native_batched_rows(tmp_path):
+    from musketeer_tpu.native import NativeTsv, available
+
+    if not available():
+        pytest.skip("native toolchain unavailable")
+    p = tmp_path / "nat.tsv"
+    p.write_text("a\tb\n\ncc\tdd\n")  # includes an empty row
+    nt = NativeTsv(str(p))
+    assert nt.rows([0, 1, 2]) == ["a\tb", "", "cc\tdd"]
+    assert nt.rows(np.asarray([2, 0])) == ["cc\tdd", "a\tb"]
+    assert nt.rows([]) == []
+    with pytest.raises(IndexError):
+        nt.rows([0, 99])
+    nt.close()
+
+
 def test_caption_builder(vocab):
     b = CaptionBuilder(vocab, description="tep", split="train", patch_image_size=64)
     ex = b(["42", fake_image_b64(), "A man, riding a horse!"])

@@ -148,6 +148,43 @@ def test_incremental_matches_full_with_code_masks(tiny):
         )
 
 
+def test_incremental_matches_full_with_decoder_prompt():
+    """Prefix-tuning KV must flow through the incremental cache identically."""
+    cfg = tiny_cfg(decoder_prompt=True, decoder_prompt_length=3)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(1), cfg)
+    # random (non-zero) prompt table so the prefix actually matters
+    params["decoder"]["prompt_embedding"] = (
+        jax.random.normal(
+            jax.random.PRNGKey(7), params["decoder"]["prompt_embedding"].shape
+        )
+        * 0.1
+    )
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    T = 5
+    prev = jnp.asarray(np.random.RandomState(4).randint(4, 100, (2, T)), jnp.int32)
+    prev = prev.at[:, 0].set(cfg.bos)
+
+    full_logits = ofa.decode(params, cfg, prev, enc)
+
+    state = ofa.init_decoder_state(params, cfg, enc, max_len=T)
+    for t in range(T):
+        logits_t, state = ofa.decode_step(
+            params, cfg, prev[:, t], jnp.int32(t), state
+        )
+        np.testing.assert_allclose(
+            np.asarray(full_logits[:, t]), np.asarray(logits_t), rtol=2e-4, atol=2e-4
+        )
+
+    # sanity: the prompt changes the distribution vs a prompt-free model
+    cfg0 = tiny_cfg()
+    p0 = {k: v for k, v in params.items()}
+    dec0 = {k: v for k, v in params["decoder"].items() if k != "prompt_embedding"}
+    p0["decoder"] = dec0
+    base_logits = ofa.decode(p0, cfg0, prev, enc)
+    assert np.abs(np.asarray(full_logits) - np.asarray(base_logits)).max() > 1e-4
+
+
 def test_vocab_padding_masked(tiny):
     cfg, params = tiny
     src, imgs, masks = make_batch(cfg)
