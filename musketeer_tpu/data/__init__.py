@@ -11,5 +11,8 @@ __all__ = [
     "VqaBuilder", "collate", "parse_ref_dict", "pre_caption", "pre_question",
 ]
 from .detection import DetectionBuilder
-from .pretrain import ImageTextPairBuilder, TextInfillingBuilder
+from .pretrain import (
+    ImageTextMatchingBuilder, ImageTextPairBuilder, PureImageBuilder,
+    TextInfillingBuilder, VisualGroundingBuilder,
+)
 from .augment import RandAugment, horizontal_flip, large_scale_jitter, random_crop

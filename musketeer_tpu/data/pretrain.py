@@ -1,11 +1,11 @@
 """OFA pretraining mixture builders (ref: data/pretrain_data/unify_dataset.py).
 
-The reference's UnifyDataset mixes 4 example types: image-text pairs, pure
-text with BART-style span infilling, pure-image code prediction, and grounded
-detection (ref :110-637; masking :488-594). Musketeer itself never pretrains
-(the dataset is only imported by detection_task.py:12), so this module covers
-the capability surface: whole-word span masking with Poisson span lengths and
-the image-text pair builder.
+The reference's UnifyDataset mixes example types: image-text pairs (caption /
+QA / visual grounding with pos-neg matching), pure text with BART-style span
+infilling, pure-image VQGAN-code infilling, and grounded detection (ref
+:110-637; masking :488-594). Musketeer itself never pretrains (the dataset is
+only imported by detection_task.py:12), so these builders cover the
+capability surface; detection lives in data/detection.py.
 """
 
 from __future__ import annotations
@@ -14,8 +14,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from .task_data import BuilderBase, Example
-from .transforms import decode_base64_image, patch_resize
+from .task_data import BuilderBase, Example, pre_caption
+from .transforms import decode_base64_image, patch_resize, positioning_resize
 
 
 class TextInfillingBuilder(BuilderBase):
@@ -102,4 +102,159 @@ class ImageTextPairBuilder(BuilderBase):
         return Example(
             id=uniq_id, src_ids=src, target_ids=target, prev_ids=prev,
             patch_image=patch, patch_mask=True,
+        )
+
+
+# small default pool for negative-object substitution; pass ``objects=`` with
+# the reference's full object list for production pretraining
+_DEFAULT_OBJECTS = (
+    "man", "woman", "dog", "cat", "car", "bus", "tree", "chair", "table",
+    "bird", "horse", "boat", "plane", "bottle", "cup", "phone", "clock",
+)
+
+
+class ImageTextMatchingBuilder(BuilderBase):
+    """Binary image-text matching: ``does the image describe " {} "?`` → yes/no.
+
+    ref: unify_dataset.py:280-281 (prompt), :239-249 (negative caption by
+    swapping a ground-truth object for a random pool object), :345-360
+    (pos/neg examples with " yes"/" no" targets). Row format:
+    ``uniq_id \\t image(b64) \\t caption [\\t gt_objects('&&'-joined)]``.
+    The reference flips a coin per sample; here ``p_negative`` controls the
+    mix and the per-builder RNG keeps epochs deterministic.
+    """
+
+    task = "image_text_matching"
+
+    def __init__(self, *a, objects: Optional[Sequence[str]] = None,
+                 p_negative: float = 0.5, seed: int = 0, **kw):
+        super().__init__(*a, **kw)
+        self.objects = list(objects) if objects else list(_DEFAULT_OBJECTS)
+        self.p_negative = p_negative
+        self.rng = np.random.RandomState(seed)
+
+    def _negative_caption(self, caption: str, gt_objects: str) -> str:
+        gts = [o for o in gt_objects.strip().split("&&") if o]
+        if gts and self.rng.rand() > 0.4:
+            gt = gts[int(self.rng.randint(len(gts)))]
+            neg = self.objects[int(self.rng.randint(len(self.objects)))]
+            if neg == gt:
+                neg = self.objects[-1] if gt != self.objects[-1] else self.objects[0]
+            if gt in caption:
+                return caption.replace(gt, neg)
+        # no usable gt object: swap a random word for a random pool object
+        words = caption.split()
+        if words:
+            words[int(self.rng.randint(len(words)))] = (
+                self.objects[int(self.rng.randint(len(self.objects)))]
+            )
+        return " ".join(words)
+
+    def __call__(self, row: Sequence[str]) -> Example:
+        uniq_id, image_b64, caption = row[0], row[1], row[2]
+        gt_objects = row[3] if len(row) > 3 else ""
+        patch = patch_resize(
+            decode_base64_image(image_b64), self.patch_image_size, self.imagenet_stats
+        )
+        negative = self.split == "train" and self.rng.rand() < self.p_negative
+        cap = pre_caption(
+            self._negative_caption(caption, gt_objects) if negative else caption,
+            self.max_src_length,
+        )
+        src = self.wrap_src(self.enc(f' does the image describe " {cap} "?'))
+        tgt = self.enc(" no" if negative else " yes")
+        target, prev = self.seq2seq_targets(tgt)
+        return Example(
+            id=uniq_id, src_ids=src, target_ids=target, prev_ids=prev,
+            patch_image=patch, patch_mask=True,
+        )
+
+
+class PureImageBuilder(BuilderBase):
+    """Masked-middle image → VQGAN code infilling (ref: unify_dataset.py:396-423).
+
+    Row: ``image_id \\t image(b64) \\t 'c0 c1 ...'`` (pre-extracted VQGAN
+    codes, as in the reference's pure_image TSVs). The image is resized to
+    ``2*code_image_size``, the central square ([0.5c, 1.5c) on both axes,
+    ref :197-198) is zeroed post-normalization (ref :399-400), and the
+    target is the code-token sequence with ``code_mask=True`` so the decoder
+    uses image relative-position bias. conf=2.0 (ref :401 weighting).
+    """
+
+    task = "pure_image"
+
+    def __init__(self, *a, code_image_size: int = 128, **kw):
+        super().__init__(*a, **kw)
+        self.code_image_size = code_image_size
+
+    def __call__(self, row: Sequence[str]) -> Example:
+        image_id, image_b64, code = row[0], row[1], row[2]
+        S = self.code_image_size * 2
+        patch = np.array(
+            patch_resize(decode_base64_image(image_b64), S, self.imagenet_stats)
+        )
+        lo, hi = S // 4, (3 * S) // 4
+        patch[lo:hi, lo:hi, :] = 0.0
+        src = self.wrap_src(self.enc(" what is the image in the middle part?"))
+        codes = np.asarray(
+            [self.vocab.code_token(int(c)) for c in code.strip().split()], np.int32
+        )
+        target, prev = self.seq2seq_targets(codes)
+        return Example(
+            id=image_id, src_ids=src, target_ids=target, prev_ids=prev,
+            patch_image=patch, patch_mask=True, code_mask=True, conf=2.0,
+        )
+
+
+class VisualGroundingBuilder(BuilderBase):
+    """Pretrain visual grounding pair (ref: unify_dataset.py:294-349).
+
+    Row: ``uniq_id \\t image(b64) \\t caption \\t 'x0,y0,x1,y1'``. Two modes
+    (the reference emits BOTH examples per row, :337-348):
+
+    - ``mode='grounding'``: ``which region does the text " {} " describe?``
+      → 4 ``<bin_k>`` tokens,
+    - ``mode='region_caption'``: ``what does the region describe? region:``
+      + bins → caption.
+    """
+
+    task = "visual_grounding"
+
+    def __init__(self, *a, num_bins: int = 1000, max_image_size: int = 512,
+                 mode: str = "grounding", **kw):
+        super().__init__(*a, **kw)
+        assert mode in ("grounding", "region_caption"), mode
+        self.num_bins = num_bins
+        self.max_image_size = max_image_size
+        self.mode = mode
+
+    def __call__(self, row: Sequence[str]) -> Example:
+        uniq_id, image_b64, caption, region = row[0], row[1], row[2], row[3]
+        image = decode_base64_image(image_b64)
+        box = np.asarray(
+            [[float(v) for v in region.strip().split(",")]], np.float32
+        )
+        patch, boxes_norm, w_r, h_r = positioning_resize(
+            image, box, self.patch_image_size, self.max_image_size,
+            self.imagenet_stats,
+        )
+        quant = np.round(boxes_norm[0] * (self.num_bins - 1)).astype(int)
+        region_tokens = " ".join(f"<bin_{int(v)}>" for v in quant)
+
+        if self.mode == "grounding":
+            cap = pre_caption(caption, self.max_src_length)
+            src = self.wrap_src(
+                self.enc(f' which region does the text " {cap} " describe?')
+            )
+            tgt = self.enc(region_tokens, use_bpe=False)
+        else:
+            prefix = self.enc("  what does the region describe? region:")
+            bins = self.enc(region_tokens, use_bpe=False)
+            src = self.wrap_src(np.concatenate([prefix, bins]).astype(np.int32))
+            tgt = self.enc(f" {pre_caption(caption, self.max_tgt_length)}")
+        target, prev = self.seq2seq_targets(tgt)
+        return Example(
+            id=uniq_id, src_ids=src, target_ids=target, prev_ids=prev,
+            patch_image=patch, patch_mask=True,
+            extras={"w_resize_ratio": w_r, "h_resize_ratio": h_r},
         )

@@ -445,6 +445,22 @@ class GigawordTask(Task):
         return {k: float(np.mean(vs)) if vs else 0.0 for k, vs in agg.items()}
 
 
+def _pretrain_entries():
+    # detection/image_gen register in tasks/__init__.py (heavier deps)
+    from .pretrain import (
+        ImageTextMatchingTask, ImageTextPairTask, PureImageTask,
+        TextInfillingTask, VisualGroundingTask,
+    )
+
+    return {
+        "text_infilling": TextInfillingTask,
+        "image_text_pair": ImageTextPairTask,
+        "image_text_matching": ImageTextMatchingTask,
+        "pure_image": PureImageTask,
+        "visual_grounding": VisualGroundingTask,
+    }
+
+
 TASK_REGISTRY = {
     "caption": CaptionTask,
     "refcoco": RefcocoTask,
@@ -460,3 +476,4 @@ TASK_REGISTRY = {
     "rte": lambda *a, **kw: GlueTask("rte", *a, **kw),
     "mnli": lambda *a, **kw: GlueTask("mnli", *a, **kw),
 }
+TASK_REGISTRY.update(_pretrain_entries())

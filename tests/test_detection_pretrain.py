@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from musketeer_tpu.criterions import label_smoothed_ce
-from musketeer_tpu.data import DetectionBuilder, TextInfillingBuilder
+from musketeer_tpu.data import (
+    DetectionBuilder, ImageTextMatchingBuilder, PureImageBuilder,
+    TextInfillingBuilder, VisualGroundingBuilder,
+)
 from musketeer_tpu.tasks.detection import DetectionTask
 from musketeer_tpu.tokenization import default_vocab
 from tests.test_data import fake_image_b64
@@ -44,6 +47,65 @@ def test_text_infilling_builder():
     ex = b(["the quick brown fox jumps over the lazy dog near the river bank"])
     assert v.mask_index in ex.src_ids.tolist()
     assert v.decode_ids(ex.target_ids).startswith("the quick brown")
+
+
+def test_pure_image_builder():
+    v = default_vocab()
+    b = PureImageBuilder(v, description="base", code_image_size=16)
+    codes = " ".join(str(i * 7 % 8192) for i in range(16))
+    ex = b(["img1", fake_image_b64(64, 64), codes])
+    assert ex.code_mask and ex.conf == 2.0 and ex.patch_mask
+    S = 32  # 2 * code_image_size
+    assert ex.patch_image.shape == (S, S, 3)
+    # central square zeroed, corners untouched
+    assert np.all(ex.patch_image[S // 4 : 3 * S // 4, S // 4 : 3 * S // 4] == 0)
+    assert np.any(ex.patch_image[0, 0] != 0)
+    # targets are code tokens (code range), ending with eos
+    assert all(v.code_start <= t < v.bin_start for t in ex.target_ids[:-1])
+    assert ex.target_ids[-1] == v.eos
+    assert int(ex.target_ids[0]) == v.code_token(0)
+
+
+def test_visual_grounding_builder_modes():
+    v = default_vocab()
+    kw = dict(description="base", patch_image_size=64, split="train")
+    g = VisualGroundingBuilder(v, mode="grounding", **kw)
+    ex = g(["1", fake_image_b64(64, 64), "a red thing", "5.0,5.0,30.0,30.0"])
+    bins = [t for t in ex.target_ids if v.bin_start <= t < v.bin_start + 1000]
+    assert len(bins) == 4
+    assert "red thing" in v.decode_ids(ex.src_ids)
+
+    rc = VisualGroundingBuilder(v, mode="region_caption", **kw)
+    ex2 = rc(["1", fake_image_b64(64, 64), "a red thing", "5.0,5.0,30.0,30.0"])
+    src_bins = [t for t in ex2.src_ids if v.bin_start <= t < v.bin_start + 1000]
+    assert src_bins == bins  # same region, now in the source
+    assert "red thing" in v.decode_ids(ex2.target_ids[:-1])
+
+
+def test_image_text_matching_builder():
+    v = default_vocab()
+    yes = v.encode_text(" yes")[0]
+    no = v.encode_text(" no")[0]
+    img = fake_image_b64(64, 64)
+    # all-negative and all-positive mixes
+    bn = ImageTextMatchingBuilder(
+        v, description="base", patch_image_size=64, p_negative=1.0, seed=1
+    )
+    ex = bn(["1", img, "a dog on a chair", "dog"])
+    assert int(ex.target_ids[0]) == no
+    assert "does the image describe" in v.decode_ids(ex.src_ids)
+    assert "a dog on a chair" != v.decode_ids(ex.src_ids)  # caption perturbed
+    bp = ImageTextMatchingBuilder(
+        v, description="base", patch_image_size=64, p_negative=0.0
+    )
+    ex2 = bp(["1", img, "a dog on a chair", "dog"])
+    assert int(ex2.target_ids[0]) == yes
+    assert "a dog on a chair" in v.decode_ids(ex2.src_ids)
+    # valid split never perturbs
+    bv = ImageTextMatchingBuilder(
+        v, description="base", patch_image_size=64, p_negative=1.0, split="valid"
+    )
+    assert int(bv(["1", img, "a dog", "dog"]).target_ids[0]) == yes
 
 
 def test_encouraging_loss_larger_than_ce():
