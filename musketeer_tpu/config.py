@@ -176,6 +176,11 @@ class GenerationConfig:
     sampling: bool = False
     sampling_topk: int = -1
     sampling_topp: float = -1.0
+    # diverse decoding (ref: models/search.py DiverseBeamSearch :551-618,
+    # DiverseSiblingsSearch :745-814)
+    diverse_beam_groups: int = 0  # >1 enables grouped Hamming diversity
+    diversity_strength: float = 0.5  # group-count penalty weight
+    diversity_rate: float = 0.0  # >0 enables sibling-rank penalty
 
 
 @dataclass(frozen=True)
@@ -204,6 +209,13 @@ class CriterionConfig:
     report_accuracy: bool = False
     drop_worst_ratio: float = 0.0
     drop_worst_after: int = 0
+    # encouraging-loss variant: drop the BEST-fit (lowest-loss) positions
+    # (ref: label_smoothed_encouraging_loss.py:64-68, :129-132)
+    drop_best_ratio: float = 0.0
+    drop_best_after: int = 0
+    # non-None switches CE to the encouraging loss with this log_end
+    # (ref: label_smoothed_encouraging_loss.py:59-63)
+    encouraging_log_end: Optional[float] = None
     use_rdrop: bool = False
     reg_alpha: float = 1.0
     sample_patch_num: int = 196

@@ -43,6 +43,8 @@ def label_smoothed_ce(
     conf: Optional[jnp.ndarray] = None,  # [B] per-sample weight
     drop_worst_ratio: float = 0.0,
     drop_worst_active: Optional[jnp.ndarray] = None,  # bool scalar (update>after)
+    drop_best_ratio: float = 0.0,
+    drop_best_active: Optional[jnp.ndarray] = None,  # bool scalar (update>after)
     use_rdrop: bool = False,
     reg_alpha: float = 1.0,
     ignore_eos: bool = False,
@@ -119,6 +121,24 @@ def label_smoothed_ce(
             rank = jnp.zeros_like(order).at[order].set(jnp.arange(B * T))
             kept = (rank < k) & keep
         weights = jnp.where(active, kept.astype(jnp.float32), weights)
+
+    # ---- drop-best (keeps the LARGEST-loss fraction, applied after
+    # drop-worst; ref: label_smoothed_encouraging_loss.py:129-132). Static
+    # shapes under jit: rank-mask weighting instead of topk-gather.
+    if drop_best_ratio > 0.0:
+        active_b = (
+            drop_best_active
+            if drop_best_active is not None
+            else jnp.asarray(True)
+        )
+        cur = weights > 0
+        lb = jnp.where(cur, loss_per_pos, -jnp.inf)
+        nb = jnp.sum(cur)
+        kb = jnp.floor(nb * (1.0 - drop_best_ratio)).astype(jnp.int32)
+        order_b = jnp.argsort(-lb)  # descending: hardest positions first
+        rank_b = jnp.zeros_like(order_b).at[order_b].set(jnp.arange(B * T))
+        kept_b = (rank_b < kb) & cur
+        weights = jnp.where(active_b, kept_b.astype(jnp.float32), weights)
 
     ntokens = jnp.sum(weights).astype(jnp.float32)
     loss = jnp.sum(loss_per_pos * weights)

@@ -166,6 +166,13 @@ def beam_search(
         assert rng is not None, "sampling mode needs an rng"
         # all K chains live from step 0 (independent samples)
         init_alive = jnp.zeros((B, K), jnp.float32)
+    elif gen_cfg.diverse_beam_groups > 1:
+        # group-local pruning never crosses groups, so each group needs its
+        # own live seed beam (beams g::G belong to group g; seed beam g)
+        G = gen_cfg.diverse_beam_groups
+        live = jnp.arange(K) < G
+        init_alive = jnp.where(live[None, :], 0.0, NEG_INF)
+        init_alive = jnp.broadcast_to(init_alive, (B, K)).astype(jnp.float32)
     else:
         # only beam 0 live at step 0 (ref: search.py:119)
         init_alive = jnp.zeros((B, K), jnp.float32).at[:, 1:].set(NEG_INF)
@@ -335,11 +342,51 @@ def beam_search(
             return _sampling_grow(s, lprobs, new_dec, step)
 
         # ---- grow: top-2K candidates per sentence over K*V scores
-        cand_scores = _unflat(lprobs, B, K) + s.alive_scores[:, :, None]  # [B,K,V]
-        flat_cand = cand_scores.reshape(B, K * Vp)
-        topk_scores, topk_idx = jax.lax.top_k(flat_cand, 2 * K)
-        topk_beams = topk_idx // Vp  # [B, 2K]
-        topk_toks = topk_idx % Vp
+        G = gen_cfg.diverse_beam_groups
+        if G > 1:
+            # grouped Hamming diversity (ref: models/search.py:551-618):
+            # groups pick in order; later groups pay `strength` per earlier
+            # selection of the same token this step. Group g owns beams
+            # g::G; candidate axis is group-blocked [2Kg | 2Kg | ...].
+            assert K % G == 0, f"beam {K} not divisible by groups {G}"
+            Kg = K // G
+            lp3 = _unflat(lprobs, B, K)
+            counts = jnp.zeros((B, Vp), jnp.float32)
+            sc_l, bm_l, tk_l = [], [], []
+            for g in range(G):
+                lp_g = lp3[:, g::G] - gen_cfg.diversity_strength * counts[:, None, :]
+                cand_g = lp_g + s.alive_scores[:, g::G, None]  # [B,Kg,V]
+                sc_g, idx_g = jax.lax.top_k(cand_g.reshape(B, Kg * Vp), 2 * Kg)
+                tk_g = idx_g % Vp
+                sc_l.append(sc_g)
+                bm_l.append((idx_g // Vp) * G + g)
+                tk_l.append(tk_g)
+                counts = counts.at[jnp.arange(B)[:, None], tk_g].add(1.0)
+            topk_scores = jnp.concatenate(sc_l, axis=1)  # [B, 2K]
+            topk_beams = jnp.concatenate(bm_l, axis=1)
+            topk_toks = jnp.concatenate(tk_l, axis=1)
+        elif gen_cfg.diversity_rate > 0:
+            # sibling-rank penalty (ref: models/search.py:745-814): each
+            # beam's k-th best token is penalized k*rate before the global
+            # candidate competition; penalized scores are kept (ref :order).
+            lp3 = _unflat(lprobs, B, K)  # [B, K, V]
+            v_sc, v_ix = jax.lax.top_k(lp3, 2 * K)  # per-beam top-2K tokens
+            penalty = gen_cfg.diversity_rate * jnp.arange(
+                1, 2 * K + 1, dtype=jnp.float32
+            )
+            cand = v_sc - penalty[None, None, :] + s.alive_scores[:, :, None]
+            flat_cand = cand.reshape(B, K * 2 * K)
+            topk_scores, flat_ix = jax.lax.top_k(flat_cand, 2 * K)
+            topk_beams = flat_ix // (2 * K)
+            topk_toks = jnp.take_along_axis(
+                v_ix.reshape(B, K * 2 * K), flat_ix, axis=1
+            )
+        else:
+            cand_scores = _unflat(lprobs, B, K) + s.alive_scores[:, :, None]
+            flat_cand = cand_scores.reshape(B, K * Vp)
+            topk_scores, topk_idx = jax.lax.top_k(flat_cand, 2 * K)
+            topk_beams = topk_idx // Vp  # [B, 2K]
+            topk_toks = topk_idx % Vp
 
         # candidate token buffers
         cand_tokens = _gather_beams(s.alive_tokens, topk_beams)  # [B, 2K, T]
@@ -360,7 +407,25 @@ def beam_search(
 
         # ---- alive set: top-K non-eos candidates
         alive_cand_scores = jnp.where(is_eos, NEG_INF, topk_scores)
-        alive_top_scores, alive_top_idx = jax.lax.top_k(alive_cand_scores, K)
+        if G > 1:
+            # group-local pruning keeps beams g::G owned by group g (the
+            # reference's candidate-order active selection has the same
+            # effect, sequence_generator.py active_mask over grouped cands)
+            Kg = K // G
+            a_sc, a_ix = [], []
+            for g in range(G):
+                sl_lo = 2 * Kg * g
+                sc_g = jax.lax.dynamic_slice_in_dim(
+                    alive_cand_scores, sl_lo, 2 * Kg, axis=1
+                )
+                top_sc, top_ix = jax.lax.top_k(sc_g, Kg)
+                a_sc.append(top_sc)
+                a_ix.append(top_ix + sl_lo)
+            # [B, Kg, G] reshaped so position kg*G+g holds group g's kg-th
+            alive_top_scores = jnp.stack(a_sc, axis=2).reshape(B, K)
+            alive_top_idx = jnp.stack(a_ix, axis=2).reshape(B, K)
+        else:
+            alive_top_scores, alive_top_idx = jax.lax.top_k(alive_cand_scores, K)
         alive_tokens = _gather_beams(cand_tokens, alive_top_idx)
         alive_beam_src = jnp.take_along_axis(topk_beams, alive_top_idx, axis=1)  # [B,K]
 

