@@ -54,13 +54,14 @@ def main():
         return beam_search(params, cfg, gen_cfg, enc, max_len=16)
 
     toks, scores = run(params)  # compile
-    toks.block_until_ready()
+    np.asarray(toks)  # force device->host: block_until_ready under-measures
+    # repeated identical dispatches on the axon tunnel
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         toks, scores = run(params)
-    toks.block_until_ready()
+    np.asarray(toks)
     dt = time.perf_counter() - t0
 
     samples_per_sec = B * iters / dt
