@@ -257,6 +257,7 @@ class TrainConfig:
     patience: int = -1
     max_epoch: int = 0
     max_update: int = 0
+    stop_time_hours: float = 0.0  # wall-clock stop (ref: train.py:387-397)
     optim: OptimConfig = field(default_factory=OptimConfig)
     criterion: CriterionConfig = field(default_factory=CriterionConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -732,7 +732,8 @@ def encode(
             return {**pl, "x": new_x}
 
         out = pipeline_scan(
-            pipe_body, payload_mb, xs[:4], pipe_mesh, "pipe", consts=consts
+            pipe_body, payload_mb, xs[:4], pipe_mesh, "pipe", consts=consts,
+            remat=cfg.remat,
         )
         x = out["x"].reshape((B,) + out["x"].shape[2:])
     else:
@@ -1145,7 +1146,7 @@ def decode(
         out = pipeline_scan(
             pipe_body, payload_mb,
             (dec["layers"], dec["token_rel_pos_table"], _dec_dpr(cfg)),
-            pipe_mesh, "pipe",
+            pipe_mesh, "pipe", remat=cfg.remat,
         )
         x = out["x"].reshape((B,) + out["x"].shape[2:])
     else:

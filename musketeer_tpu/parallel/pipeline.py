@@ -35,10 +35,20 @@ def pipeline_scan(
     mesh: Mesh,
     axis_name: str = "pipe",
     consts: Any = None,  # replicated stage-invariant pytree
+    remat: bool = False,
 ) -> Any:
     """Run `body` over all L layers as a P-stage pipeline → payload [M, ...].
 
     Requires L % P == 0. Output is fully replicated.
+
+    ``remat=True`` checkpoints the per-tick stage computation so the scan
+    saves only the inter-stage payload per clock tick and recomputes the
+    local layers in the backward pass. This bounds activation memory to
+    O(stages) payloads — the quantity 1F1B scheduling buys on GPU — while
+    leaving the fwd/bwd interleaving to XLA's scheduler (the TPU-native
+    division of labor: memory via remat, schedule via the compiler).
+    The reference honors pipeline placement only for device mapping
+    (ref: trainer.py:110-122, 1269-1271); this is a full schedule.
     """
     M = jax.tree.leaves(payload_mb)[0].shape[0]
     P_stages = mesh.shape[axis_name]
@@ -62,6 +72,9 @@ def pipeline_scan(
 
             out, _ = jax.lax.scan(scan_body, pl, local_layers)
             return out
+
+        if remat:
+            run_local = jax.checkpoint(run_local)
 
         zero_pl = jax.tree.map(lambda a: jnp.zeros_like(a[0]), pl_mb)
         outputs = jax.tree.map(jnp.zeros_like, pl_mb)

@@ -75,6 +75,15 @@ def train_loop(
 
     rng = jax.random.PRNGKey(cfg.seed)
     max_epoch = max_epoch or cfg.max_epoch or 1
+    train_t0 = time.time()
+
+    def out_of_time() -> bool:
+        # wall-clock budget (ref: train.py:387-397 stop_time_hours)
+        return (
+            cfg.stop_time_hours > 0
+            and (time.time() - train_t0) / 3600.0 > cfg.stop_time_hours
+        )
+
     epoch = 1
     while epoch <= max_epoch:
         loader.set_epoch(epoch)
@@ -97,6 +106,9 @@ def train_loop(
                     on_metrics(num_updates, {k: float(v) for k, v in metrics.items()})
             if cfg.max_update and num_updates >= cfg.max_update:
                 break
+            if out_of_time():
+                logger.info("stop_time_hours reached (%.2fh)", cfg.stop_time_hours)
+                break
 
         val_metric = validate_fn(state) if validate_fn is not None else None
         if ckpt_mgr is not None:
@@ -107,6 +119,8 @@ def train_loop(
             logger.info("early stop at epoch %d (patience %d)", epoch, cfg.patience)
             break
         if cfg.max_update and int(state.step) >= cfg.max_update:
+            break
+        if out_of_time():
             break
         epoch += 1
     return state

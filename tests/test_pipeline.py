@@ -116,6 +116,14 @@ def test_encoder_pipeline_grads(cpu_devices):
     scale = float(jnp.abs(f1).max()) + 1e-9
     assert float(jnp.abs(f1 - f2).max()) / scale < 1e-3
 
+    # remat=True (cfg.remat): same gradients, stage body recomputed in bwd —
+    # the memory-bounded schedule (1F1B-equivalent footprint)
+    cfg_r = replace(cfg_p, remat=True)
+    with jax.set_mesh(mesh):
+        g_remat = jax.jit(jax.grad(lambda p: loss(p, cfg_r)))(sp)
+    f3, _ = ravel_pytree(jax.device_get(g_remat))
+    assert float(jnp.abs(f1 - f3).max()) / scale < 1e-3
+
 
 def test_full_model_pipeline_parity(cpu_devices):
     """forward() (encoder + decoder pipelined) == plain forward."""

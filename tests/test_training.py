@@ -169,6 +169,54 @@ def test_sharded_train_step(cpu_devices):
     )
 
 
+def test_train_loop_stop_time_hours():
+    """Wall-clock budget stops the loop mid-training (ref: train.py:387-397)."""
+    from dataclasses import replace
+
+    from musketeer_tpu.config import (
+        CriterionConfig, OptimConfig, TrainConfig, ofa_tiny,
+    )
+    from musketeer_tpu.models import ofa
+    from musketeer_tpu.training import init_train_state
+    from musketeer_tpu.training.trainer import train_loop
+
+    cfg = replace(
+        ofa_tiny(), embed_dim=32, ffn_dim=64, encoder_layers=1,
+        decoder_layers=1, attention_heads=4, vocab_size=64,
+        padded_vocab_size=64, resnet_layers=(1, 1, 1), dtype="float32",
+    )
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    optim = OptimConfig(lr=1e-3, warmup_updates=1, total_updates=100)
+    tcfg = TrainConfig(
+        optim=optim, criterion=CriterionConfig(), max_epoch=50,
+        stop_time_hours=1e-9,  # expires immediately after the first step
+        ema_decay=0.0,
+    )
+    state = init_train_state(params, optim)
+
+    rng = np.random.RandomState(0)
+    tgt = rng.randint(4, 60, (1, 2, 4)).astype(np.int32)
+    prev = np.roll(tgt, 1, -1)
+    prev[..., 0] = cfg.bos
+    batch = {"t": TaskBatch(
+        src_tokens=jnp.asarray(rng.randint(4, 60, (1, 2, 6)), jnp.int32),
+        prev_output_tokens=jnp.asarray(prev),
+        target=jnp.asarray(tgt),
+    )}
+
+    class Loader:
+        def set_epoch(self, e):
+            pass
+
+        def epoch_iterator(self):
+            for _ in range(5):
+                yield batch
+
+    out = train_loop(tcfg, cfg, state, Loader())
+    # 50 epochs x 5 steps available; the time budget cuts it to 1 step
+    assert int(out.step) == 1
+
+
 def test_nonfinite_grads_skip_update():
     """A batch that produces NaN loss must not corrupt the params (ref:
     trainer.py NanDetector / AMP overflow retry semantics)."""
