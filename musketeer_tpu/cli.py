@@ -73,13 +73,20 @@ def cmd_train(args):
             lr=args.lr, warmup_updates=args.warmup_updates,
             total_updates=args.total_updates, clip_norm=args.clip_norm,
         ),
+        stop_time_hours=args.stop_time_hours,
         criterion=CriterionConfig(
             label_smoothing=args.label_smoothing,
             drop_worst_ratio=args.drop_worst_ratio,
             drop_worst_after=args.drop_worst_after,
+            drop_best_ratio=args.drop_best_ratio,
+            drop_best_after=args.drop_best_after,
+            encouraging_log_end=args.log_end,
             use_rdrop=args.use_rdrop,
         ),
-        mesh=MeshConfig(data=-1, fsdp=args.fsdp, model=args.model_parallel),
+        mesh=MeshConfig(
+            data=-1, fsdp=args.fsdp, model=args.model_parallel,
+            pipe=args.pipeline,
+        ),
     )
     if args.restore_pt:
         params, model_cfg = import_pt(args.restore_pt, model_cfg)
@@ -87,6 +94,10 @@ def cmd_train(args):
         logger.info("restored reference checkpoint %s", args.restore_pt)
     else:
         params = ofa.init_ofa_params(jax.random.PRNGKey(cfg.seed), model_cfg)
+    if args.microbatches:
+        from dataclasses import replace as _replace
+
+        model_cfg = _replace(model_cfg, pipeline_microbatches=args.microbatches)
 
     # validation: by default Musketeer monitors SNLI-VE only
     # (ref: musketeer_task.py:545-559); override with --valid-task/--valid-data
@@ -260,7 +271,16 @@ def main(argv=None):
     pt.add_argument("--label-smoothing", type=float, default=0.1)
     pt.add_argument("--drop-worst-ratio", type=float, default=0.0)
     pt.add_argument("--drop-worst-after", type=int, default=0)
+    pt.add_argument("--drop-best-ratio", type=float, default=0.0)
+    pt.add_argument("--drop-best-after", type=int, default=0)
+    pt.add_argument("--log-end", type=float, default=None,
+                    help="enable encouraging loss with this log_end")
     pt.add_argument("--use-rdrop", action="store_true")
+    pt.add_argument("--stop-time-hours", type=float, default=0.0)
+    pt.add_argument("--pipeline", type=int, default=1,
+                    help="pipeline stages (mesh pipe axis)")
+    pt.add_argument("--microbatches", type=int, default=0,
+                    help="pipeline microbatches (0 = off)")
     pt.add_argument("--ema-decay", type=float, default=0.0)
     pt.add_argument("--patience", type=int, default=-1)
     pt.add_argument("--eq-sampling", type=int, default=0)
