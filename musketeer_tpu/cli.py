@@ -159,11 +159,18 @@ def cmd_evaluate(args):
         import os
 
         params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
-        template = init_train_state(params, OptimConfig())
+        template = init_train_state(
+            params, OptimConfig(), ema_decay=0.999 if args.use_ema else 0.0
+        )
         state, _ = load_checkpoint(
             os.path.dirname(args.ckpt), template, os.path.basename(args.ckpt)
         )
-        params = state.params
+        # eval on the EMA shadow when asked (ref: eval driver loads +EMA,
+        # utils/checkpoint_utils.py 'ema' model-state overlay)
+        if args.use_ema and state.ema_params is not None:
+            params = state.ema_params
+        else:
+            params = state.params
     else:
         logger.warning("no checkpoint given; evaluating random init")
         params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
@@ -175,12 +182,31 @@ def cmd_evaluate(args):
         with open(args.answers_file) as f:
             task_kw["answers"] = [line.strip() for line in f if line.strip()]
     task = TASK_REGISTRY[args.task](vocab, description=args.description, **task_kw)
+    gen_overrides = {}
+    if args.beam is not None:
+        gen_overrides["beam_size"] = args.beam
+    if args.max_len_b is not None:
+        gen_overrides["max_len_b"] = args.max_len_b
+    if args.diverse_groups:
+        gen_overrides["diverse_beam_groups"] = args.diverse_groups
+        gen_overrides["diversity_strength"] = args.diversity_strength
+    if gen_overrides:
+        task.set_generation_overrides(**gen_overrides)
     dataset = FileDataset(
         args.data, shard_id=jax.process_index(), num_shards=jax.process_count()
     )
-    metrics = task.evaluate(
-        params, model_cfg, dataset, batch_size=args.batch_size, limit=args.limit
-    )
+    if args.zero_shot:
+        assert hasattr(task, "evaluate_zero_shot"), (
+            f"task {args.task} has no zero-shot path"
+        )
+        metrics = task.evaluate_zero_shot(
+            params, model_cfg, dataset, batch_size=args.batch_size,
+            limit=args.limit,
+        )
+    else:
+        metrics = task.evaluate(
+            params, model_cfg, dataset, batch_size=args.batch_size, limit=args.limit
+        )
     preds = metrics.pop("predictions", None)
     metrics.pop("pairs", None)
     if args.results_json and preds is not None:
@@ -301,6 +327,14 @@ def main(argv=None):
     pe.add_argument("--ckpt", default=None)
     pe.add_argument("--pt", default=None, help="reference fairseq .pt checkpoint")
     pe.add_argument("--answers-file", default=None)
+    pe.add_argument("--use-ema", action="store_true",
+                    help="evaluate the EMA shadow params from the checkpoint")
+    pe.add_argument("--zero-shot", action="store_true",
+                    help="zero-shot eval path (vqa_gen: no trie, open gen)")
+    pe.add_argument("--beam", type=int, default=None)
+    pe.add_argument("--max-len-b", type=int, default=None)
+    pe.add_argument("--diverse-groups", type=int, default=0)
+    pe.add_argument("--diversity-strength", type=float, default=0.5)
     pe.add_argument("--results-json", default=None,
                     help="dump per-example predictions (test_predict.json style)")
     pe.set_defaults(fn=cmd_evaluate)

@@ -84,6 +84,15 @@ class Task:
     def generation_config(self) -> GenerationConfig:
         return GenerationConfig()
 
+    def set_generation_overrides(self, **kw) -> None:
+        """Override fields of this task's generation config (the reference's
+        eval-time ``--model-overrides`` / --beam flags, evaluate.py:60-63).
+        Shadows ``generation_config`` on the instance."""
+        import dataclasses
+
+        base = self.generation_config
+        self.generation_config = lambda: dataclasses.replace(base(), **kw)
+
     # -- evaluation --------------------------------------------------------
     def evaluate(
         self, params, model_cfg: ModelConfig, dataset, batch_size: int = 8,

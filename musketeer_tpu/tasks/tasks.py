@@ -163,7 +163,9 @@ class AllCandTask(Task):
         ]
         v = self.vocab
         C = len(self.answers)
-        self.Tc = max(len(e) for e in self._ans_enc) + 1  # + eos
+        # no candidate set (e.g. zero-shot VQA, utils/zero_shot_utils.py:40-46
+        # removes the trie): skip the allcand tables; evaluate() will assert
+        self.Tc = (max(len(e) for e in self._ans_enc) + 1) if C else 1
         self._ans_target = np.full((C, self.Tc), v.pad, np.int32)
         self._ans_nodes = np.full((C, self.Tc), -1, np.int32)
         for c, e in enumerate(self._ans_enc):
@@ -230,8 +232,12 @@ class AllCandTask(Task):
 
     def _eval_common(self, params, model_cfg, dataset, batch_size, limit, with_image):
         v = self.vocab
-        encode_fn, encode_text_fn, score_fn = self.make_score_fn(model_cfg)
         C = len(self.answers)
+        assert C > 0, (
+            f"{self.name}: allcand scoring needs a candidate answer set "
+            "(pass answers=/--answers-file), or use the zero-shot path"
+        )
+        encode_fn, encode_text_fn, score_fn = self.make_score_fn(model_cfg)
         chunk = min(self.valid_batch_size, C)
         n_correct, n_total, soft_sum = 0, 0, 0.0
         pairs: List[tuple] = []

@@ -150,6 +150,23 @@ def test_musketeer_loader_skip_steps(vocab, tmp_path):
     )
 
 
+def test_vqa_task_without_answers(tiny, vocab, tmp_path):
+    """No candidate set (zero-shot use): construction works, allcand eval
+    gives a clear error instead of crashing in __init__."""
+    import pytest
+
+    from musketeer_tpu.data import FileDataset
+    from musketeer_tpu.tasks import VqaTask
+
+    task = VqaTask(vocab, description="base", patch_image_size=32)
+    assert task.answers == [] and hasattr(task, "evaluate_zero_shot")
+    rows = [["0", fake_image_b64(32, 32), "what is it", "1.0|!+thing"]]
+    p = write_tsv(tmp_path / "vqa0.tsv", rows)
+    cfg, params = tiny
+    with pytest.raises(AssertionError, match="candidate answer set"):
+        task.evaluate(params, cfg, FileDataset(str(p)), batch_size=1)
+
+
 def test_vqa_allcand_with_images_chunked(tiny, vocab, tmp_path):
     """Full VQA allcand path: 30 answers, chunked span scoring with images."""
     from musketeer_tpu.data import FileDataset
