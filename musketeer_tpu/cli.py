@@ -159,15 +159,18 @@ def cmd_evaluate(args):
         import os
 
         params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
-        template = init_train_state(
-            params, OptimConfig(), ema_decay=0.999 if args.use_ema else 0.0
-        )
+        # load_checkpoint adapts the EMA slot to whatever the ckpt carries
+        template = init_train_state(params, OptimConfig())
         state, _ = load_checkpoint(
             os.path.dirname(args.ckpt), template, os.path.basename(args.ckpt)
         )
         # eval on the EMA shadow when asked (ref: eval driver loads +EMA,
         # utils/checkpoint_utils.py 'ema' model-state overlay)
-        if args.use_ema and state.ema_params is not None:
+        if args.use_ema:
+            assert state.ema_params is not None, (
+                "--use-ema: checkpoint has no EMA shadow (trained without "
+                "--ema-decay)"
+            )
             params = state.ema_params
         else:
             params = state.params

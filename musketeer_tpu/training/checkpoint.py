@@ -60,11 +60,23 @@ def load_checkpoint(
 
     path = os.path.abspath(_ckpt_dir(save_dir, name))
     with ocp.StandardCheckpointer() as ckptr:
+        # the saved tree may or may not carry an EMA shadow; adapt the
+        # template so eval-without---use-ema of an EMA checkpoint (and vice
+        # versa) restores instead of failing on a structure mismatch
+        try:
+            saved_has_ema = bool(ckptr.metadata(path).item_metadata["ema_params"])
+        except Exception:
+            saved_has_ema = template.ema_params is not None
+        ema_target = template.ema_params
+        if saved_has_ema and ema_target is None:
+            ema_target = template.params  # same structure as params
+        elif not saved_has_ema:
+            ema_target = None
         target = dict(
             step=np.asarray(template.step),
             params=template.params,
             opt_state=template.opt_state,
-            ema_params=template.ema_params,
+            ema_params=ema_target,
         )
         restored = ckptr.restore(path, target)
     meta = {}

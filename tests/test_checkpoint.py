@@ -32,6 +32,37 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_ema_structure_adaptation(tmp_path):
+    """EMA ckpt restores into a no-EMA template (eval without --use-ema) and
+    a no-EMA ckpt into an EMA-free slot — no orbax structure mismatch."""
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    optim = OptimConfig()
+
+    # EMA checkpoint ← no-EMA template
+    state = init_train_state(params, optim, ema_decay=0.99)
+    save_checkpoint(str(tmp_path), state, "with_ema")
+    template = init_train_state(
+        ofa.init_ofa_params(jax.random.PRNGKey(1), cfg), optim
+    )
+    assert template.ema_params is None
+    restored, _ = load_checkpoint(str(tmp_path), template, "with_ema")
+    assert restored.ema_params is not None  # shadow still available
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["embed_tokens"]),
+        np.asarray(state.ema_params["embed_tokens"]),
+    )
+
+    # no-EMA checkpoint ← EMA template
+    state0 = init_train_state(params, optim)
+    save_checkpoint(str(tmp_path), state0, "no_ema")
+    template_e = init_train_state(
+        ofa.init_ofa_params(jax.random.PRNGKey(2), cfg), optim, ema_decay=0.99
+    )
+    restored0, _ = load_checkpoint(str(tmp_path), template_e, "no_ema")
+    assert restored0.ema_params is None
+
+
 def test_checkpoint_manager_best_policy(tmp_path):
     cfg = tiny_cfg()
     params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
