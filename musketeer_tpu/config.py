@@ -163,6 +163,10 @@ class GenerationConfig:
     max_len_a: float = 0.0
     max_len_b: int = 200
     min_len: int = 1
+    # per-sentence length constraints: with src_lengths passed to beam_search,
+    # min_i = min_len_a*len_i + min_len and max_i = max_len_a*len_i + max_len_b
+    # (ref: models/search.py LengthConstrainedBeamSearch :526-549)
+    min_len_a: float = 0.0
     normalize_scores: bool = True
     len_penalty: float = 1.0
     unk_penalty: float = 0.0

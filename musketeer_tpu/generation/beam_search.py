@@ -139,6 +139,7 @@ def beam_search(
     trie: Optional[DenseTrie] = None,
     code_masks_value: bool = False,  # gen_code → decoder image positions
     rng: Optional[jax.Array] = None,  # required when gen_cfg.sampling
+    src_lengths: Optional[jnp.ndarray] = None,  # [B] → per-sentence min/max
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run constrained beam search. Returns (tokens [B,K,max_len+2], scores [B,K]).
 
@@ -188,6 +189,14 @@ def beam_search(
     )
 
     prefix_len = 0 if prefix_tokens is None else prefix_tokens.shape[1]
+
+    # per-sentence length constraints (ref: search.py:526-549)
+    if src_lengths is not None:
+        sl = src_lengths.astype(jnp.float32)
+        row_min = jnp.repeat(gen_cfg.min_len_a * sl + gen_cfg.min_len, K)
+        row_max = jnp.repeat(gen_cfg.max_len_a * sl + gen_cfg.max_len_b, K)
+    else:
+        row_min = row_max = None
 
     def length_norm(step):
         # score / (gen_len)**len_penalty; gen_len = step+1 incl. eos
@@ -288,11 +297,13 @@ def beam_search(
             base = jnp.full_like(lprobs, NEG_INF)
             forced = base.at[jnp.arange(B * K), pt].set(forced_lp[:, 0])
             lprobs = jnp.where(force[:, None], forced, lprobs)
+            min_thr = row_min if row_min is not None else gen_cfg.min_len
             min_len_active = jnp.logical_and(
-                jnp.logical_not(in_prefix), step < gen_cfg.min_len
+                jnp.logical_not(in_prefix), step < min_thr
             )
         else:
-            min_len_active = step < gen_cfg.min_len
+            min_thr = row_min if row_min is not None else gen_cfg.min_len
+            min_len_active = step < min_thr
         # min length: no eos yet (ref :383-385)
         lprobs = lprobs.at[:, eos].add(
             jnp.where(min_len_active, NEG_INF, 0.0)
@@ -326,10 +337,12 @@ def beam_search(
                 jnp.where(eos_step, ban_bins, ban_nonbins), NEG_INF, lprobs
             )
 
-        # max length: eos only (ref :400-404)
-        at_max = step >= max_len
+        # max length: eos only (ref :400-404; per-sentence ref :549)
+        at_max = jnp.broadcast_to(step >= max_len, (B * K,))
+        if row_max is not None:
+            at_max = jnp.logical_or(at_max, step >= row_max)
         only_eos = jnp.full_like(lprobs, NEG_INF).at[:, eos].set(0.0)
-        lprobs = jnp.where(at_max, only_eos, lprobs)
+        lprobs = jnp.where(at_max[:, None], only_eos, lprobs)
 
         if gen_cfg.no_repeat_ngram_size > 0:
             can_block = step + 2 - gen_cfg.no_repeat_ngram_size >= 0
@@ -492,6 +505,12 @@ def generate(
     """
     enc = ofa.encode(params, cfg, src_tokens, patch_images, patch_masks)
     max_len = int(gen_cfg.max_len_a * src_tokens.shape[1] + gen_cfg.max_len_b)
+    # per-sentence length constraints activate when a length slope is set
+    src_lengths = (
+        jnp.sum(src_tokens != cfg.pad, axis=1)
+        if (gen_cfg.min_len_a or gen_cfg.max_len_a)
+        else None
+    )
     return beam_search(
         params,
         cfg,
@@ -501,4 +520,5 @@ def generate(
         prefix_tokens=prefix_tokens,
         trie=trie,
         code_masks_value=gen_cfg.gen_code,
+        src_lengths=src_lengths,
     )

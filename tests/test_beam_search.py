@@ -270,6 +270,36 @@ def test_diverse_siblings(tiny):
     assert float(s1[0, 0]) <= float(s0[0, 0]) + 1e-6
 
 
+def test_length_constrained_per_sentence(tiny):
+    """Per-sentence min/max lengths (ref: search.py LengthConstrainedBeam
+    :526-549): min_i = a*len_i + b bans eos, max_i forces it, per row."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=8)
+    src_lengths = jnp.asarray([2.0, 6.0])
+    gen_cfg = GenerationConfig(
+        beam_size=3, max_len_b=4, min_len=1, min_len_a=1.0, max_len_a=1.0,
+    )
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    toks, scores = jax.jit(
+        lambda p, e: beam_search(
+            p, cfg, gen_cfg, e, max_len=12, src_lengths=src_lengths
+        )
+    )(params, enc)
+    toks = np.asarray(toks)
+    for b, L in enumerate([2.0, 6.0]):
+        lo = 1.0 * L + 1   # min_len_a*L + min_len
+        hi = 1.0 * L + 4   # max_len_a*L + max_len_b
+        for k in range(3):
+            seq = [t for t in toks[b, k] if t != cfg.pad]
+            assert seq[-1] == cfg.eos
+            n = len(seq)  # generated tokens incl. eos
+            assert lo + 1 <= n <= hi + 1, (b, k, n, lo, hi)
+    # rows differ in allowed band → sentence 0 strictly shorter than 1's min
+    n0 = len([t for t in toks[0, 0] if t != cfg.pad])
+    n1 = len([t for t in toks[1, 0] if t != cfg.pad])
+    assert n0 < n1
+
+
 def test_sharded_generation(tiny, cpu_devices):
     """Multi-chip serving: beam search under a data=2 x model=2 mesh (TP
     params via GSPMD) matches the unsharded result token-for-token."""
