@@ -118,6 +118,61 @@ def codes_to_images_uint8(params, cfg, codes) -> jnp.ndarray:
     return (x * 255.0).astype(jnp.uint8)
 
 
+def _downsample(p, x):
+    # taming pads asymmetrically ((0,1),(0,1)) then stride-2 valid conv
+    # (ref: modules/diffusionmodules/model.py:56-74)
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (2, 2), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["b"].astype(x.dtype)
+
+
+def encode_codes(params: Params, cfg: VQGANConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """images [B, H, W, 3] in [-1, 1] → code ids [B, h, w] int32.
+
+    The image tokenizer direction the reference vendors but never exposes on
+    a CLI (VQModel.encode, ref: models/taming/models/vqgan.py:54-58; Encoder
+    ref: modules/diffusionmodules/model.py:342-412; nearest-codebook
+    quantization ref: modules/vqvae/quantize.py:34-60). Requires encoder
+    weights in the checkpoint (``convert_vqgan_state_dict`` maps them when
+    present). Use to build pure-image / image-gen code TSVs.
+    """
+    assert "encoder" in params, (
+        "checkpoint has no encoder weights (decode-only conversion)"
+    )
+    enc = params["encoder"]
+    h = _conv(enc["conv_in"], images)
+    for down in enc["down"]:
+        for i_block, block in enumerate(down["blocks"]):
+            h = _resnet_block(block, h)
+            if down.get("attn") is not None:
+                h = _attn_block(down["attn"][i_block], h)
+        if down.get("downsample") is not None:
+            h = _downsample(down["downsample"]["conv"], h)
+    h = _resnet_block(enc["mid_block_1"], h)
+    h = _attn_block(enc["mid_attn"], h)
+    h = _resnet_block(enc["mid_block_2"], h)
+    h = _conv(enc["conv_out"], _swish(_group_norm(enc["norm_out"], h)))
+
+    if "gumbel_proj" in params:
+        # GumbelVQ at eval: hard argmax over the code logits
+        # (ref: quantize.py GumbelQuantize.forward :171-186, hard=True)
+        logits = _conv(params["gumbel_proj"], h)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    z = _conv(params["quant_conv"], h).astype(jnp.float32)  # [B,h,w,e]
+    e = params["codebook"].astype(jnp.float32)  # [N, e]
+    # ||z - e||² = z² + e² - 2 z·e (ref: quantize.py:49-51)
+    d = (
+        jnp.sum(z**2, axis=-1, keepdims=True)
+        + jnp.sum(e**2, axis=-1)[None, None, None, :]
+        - 2.0 * jnp.einsum("bhwc,nc->bhwn", z, e)
+    )
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # converter from taming-transformers state dict
 # ---------------------------------------------------------------------------
@@ -183,6 +238,45 @@ def convert_vqgan_state_dict(sd, gumbel: bool = False) -> tuple[Params, VQGANCon
         "norm_out": gn("decoder.norm_out"),
         "conv_out": conv("decoder.conv_out"),
     }
+
+    # encoder (image → codes direction) when the checkpoint carries it
+    if "encoder.conv_in.weight" in sd:
+        down = []
+        n_down = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith("encoder.down.")
+        )
+        for i in range(n_down):
+            nb = 1 + max(
+                int(k.split(".")[4])
+                for k in sd if k.startswith(f"encoder.down.{i}.block.")
+            )
+            entry: Dict[str, Any] = {
+                "blocks": [res(f"encoder.down.{i}.block.{j}") for j in range(nb)],
+                "attn": None,
+                "downsample": None,
+            }
+            if f"encoder.down.{i}.attn.0.norm.weight" in sd:
+                entry["attn"] = [
+                    attn(f"encoder.down.{i}.attn.{j}") for j in range(nb)
+                ]
+            if f"encoder.down.{i}.downsample.conv.weight" in sd:
+                entry["downsample"] = {
+                    "conv": conv(f"encoder.down.{i}.downsample.conv")
+                }
+            down.append(entry)
+        params["encoder"] = {
+            "conv_in": conv("encoder.conv_in"),
+            "down": down,
+            "mid_block_1": res("encoder.mid.block_1"),
+            "mid_attn": attn("encoder.mid.attn_1"),
+            "mid_block_2": res("encoder.mid.block_2"),
+            "norm_out": gn("encoder.norm_out"),
+            "conv_out": conv("encoder.conv_out"),
+        }
+        if gumbel:
+            params["gumbel_proj"] = conv("quantize.proj")
+        elif "quant_conv.weight" in sd:
+            params["quant_conv"] = conv("quant_conv")
     cfg = VQGANConfig(
         codebook_size=codebook.shape[0],
         embed_dim=codebook.shape[1],

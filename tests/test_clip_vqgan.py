@@ -221,3 +221,87 @@ def test_vqgan_decode_matches_torch():
     out = np.asarray(decode_code(params, cfg, jnp.asarray(codes.numpy())))
     out = out.transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ref, out, atol=1e-4)
+
+
+def test_vqgan_encode_matches_torch():
+    """Encoder direction: images → nearest-codebook ids, vs a minimal torch
+    mirror of taming's Encoder/VectorQuantizer (model.py:342-412,
+    quantize.py:34-60)."""
+    torch.manual_seed(1)
+    zc, ch = 64, 32
+
+    class Down(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, 2, 0)
+
+        def forward(self, x):
+            return self.conv(torch.nn.functional.pad(x, (0, 1, 0, 1)))
+
+    class Enc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = nn.Conv2d(3, ch, 3, 1, 1)
+            self.down = nn.ModuleList()
+            d0 = nn.Module(); d0.block = nn.ModuleList([_Res(ch, ch)])
+            d0.downsample = Down(ch)
+            d1 = nn.Module(); d1.block = nn.ModuleList([_Res(ch, ch * 2)])
+            self.down.append(d0); self.down.append(d1)
+            self.mid = nn.Module()
+            self.mid.block_1 = _Res(ch * 2, ch * 2)
+            self.mid.attn_1 = _Attn(ch * 2)
+            self.mid.block_2 = _Res(ch * 2, ch * 2)
+            self.norm_out = _gn(ch * 2)
+            self.conv_out = nn.Conv2d(ch * 2, zc, 3, 1, 1)
+
+        def forward(self, x):
+            h = self.conv_in(x)
+            for d in self.down:
+                for b in d.block:
+                    h = b(h)
+                if hasattr(d, "downsample"):
+                    h = d.downsample(h)
+            h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+            return self.conv_out(_sw(self.norm_out(h)))
+
+    class VQ(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.quantize = nn.Module()
+            self.quantize.embedding = nn.Embedding(50, zc)
+            self.post_quant_conv = nn.Conv2d(zc, zc, 1)
+            self.quant_conv = nn.Conv2d(zc, zc, 1)
+            self.encoder = Enc()
+            # converter also needs a (tiny) decoder present
+            self.decoder = nn.Module()
+            self.decoder.conv_in = nn.Conv2d(zc, ch, 3, 1, 1)
+            self.decoder.mid = nn.Module()
+            self.decoder.mid.block_1 = _Res(ch, ch)
+            self.decoder.mid.attn_1 = _Attn(ch)
+            self.decoder.mid.block_2 = _Res(ch, ch)
+            self.decoder.up = nn.ModuleList()
+            u = nn.Module(); u.block = nn.ModuleList([_Res(ch, ch), _Res(ch, ch)])
+            self.decoder.up.append(u)
+            self.decoder.norm_out = _gn(ch)
+            self.decoder.conv_out = nn.Conv2d(ch, 3, 3, 1, 1)
+
+        def encode_ids(self, x):
+            z = self.quant_conv(self.encoder(x))  # [B, zc, h, w]
+            zf = z.permute(0, 2, 3, 1).reshape(-1, zc)
+            e = self.quantize.embedding.weight
+            d = (zf**2).sum(1, keepdim=True) + (e**2).sum(1) - 2 * zf @ e.t()
+            return d.argmin(1).reshape(z.shape[0], z.shape[2], z.shape[3])
+
+    from musketeer_tpu.models.vqgan import convert_vqgan_state_dict, encode_codes
+
+    m = VQ().eval()
+    imgs = torch.randn(2, 3, 16, 16).clamp(-1, 1)
+    with torch.no_grad():
+        ref_ids = m.encode_ids(imgs).numpy()
+    params, cfg = convert_vqgan_state_dict(m.state_dict())
+    assert "encoder" in params and "quant_conv" in params
+    ids = np.asarray(
+        encode_codes(params, cfg, jnp.asarray(imgs.permute(0, 2, 3, 1).numpy()))
+    )
+    assert ids.shape == ref_ids.shape == (2, 8, 8)
+    np.testing.assert_array_equal(ref_ids, ids)
