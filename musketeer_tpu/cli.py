@@ -281,6 +281,47 @@ def cmd_convert(args):
     logger.info("converted %s -> %s", args.pt, args.out)
 
 
+def cmd_vqgan_encode(args):
+    """Tokenize images into VQGAN code TSVs — the data-prep step the
+    reference assumes was done offline (its pure_image/image_gen TSVs carry
+    precomputed code strings, ref: data/pretrain_data/unify_dataset.py
+    process_pure_image, data/mm_data/image_gen_dataset.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import torch
+
+    from .data.file_dataset import FileDataset
+    from .data.transforms import decode_base64_image
+    from .models.vqgan import convert_vqgan_state_dict, encode_codes
+
+    sd = torch.load(args.vqgan, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    params, vcfg = convert_vqgan_state_dict(sd, gumbel=args.gumbel)
+    assert "encoder" in params, "checkpoint has no encoder weights"
+
+    ds = FileDataset(args.data)
+    S = args.image_size
+    n_written = 0
+    with open(args.out, "w") as out:
+        for start in range(0, len(ds), args.batch_size):
+            idx = list(range(start, min(start + args.batch_size, len(ds))))
+            rows = ds.get_batch(idx)
+            imgs = np.stack([
+                np.asarray(
+                    decode_base64_image(r[1]).resize((S, S)), np.float32
+                ) / 127.5 - 1.0
+                for r in rows
+            ])
+            ids = np.asarray(encode_codes(params, vcfg, jnp.asarray(imgs)))
+            for r, row_ids in zip(rows, ids):
+                code_str = " ".join(str(int(c)) for c in row_ids.reshape(-1))
+                out.write(f"{r[0]}\t{r[1]}\t{code_str}\n")
+                n_written += 1
+    logger.info("wrote %d code rows (%dx%d grid) to %s",
+                n_written, ids.shape[1], ids.shape[2], args.out)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("musketeer_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -347,6 +388,15 @@ def main(argv=None):
     pa.add_argument("--tasks", required=True, help="name=path.tsv[,name=path...]")
     pa.add_argument("--pt", default=None)
     pa.set_defaults(fn=cmd_evaluate_all)
+
+    pv = sub.add_parser("vqgan-encode")
+    pv.add_argument("--vqgan", required=True, help="taming VQGAN .pt/.ckpt")
+    pv.add_argument("--gumbel", action="store_true")
+    pv.add_argument("--data", required=True, help="TSV: id \\t image_b64 [...]")
+    pv.add_argument("--out", required=True, help="output TSV: id, image, codes")
+    pv.add_argument("--image-size", type=int, default=256)
+    pv.add_argument("--batch-size", type=int, default=16)
+    pv.set_defaults(fn=cmd_vqgan_encode)
 
     pc = sub.add_parser("convert")
     pc.add_argument("--pt", required=True)
