@@ -74,6 +74,7 @@ def cmd_train(args):
             total_updates=args.total_updates, clip_norm=args.clip_norm,
         ),
         stop_time_hours=args.stop_time_hours,
+        async_save=args.async_save,
         criterion=CriterionConfig(
             label_smoothing=args.label_smoothing,
             drop_worst_ratio=args.drop_worst_ratio,
@@ -330,6 +331,8 @@ def main(argv=None):
     _add_common(pt)
     pt.add_argument("--tasks", required=True, help="name=path.tsv[,name=path...]")
     pt.add_argument("--save-dir", default=None)
+    pt.add_argument("--async-save", action="store_true",
+                    help="background checkpoint writes")
     pt.add_argument("--restore-pt", default=None)
     pt.add_argument("--lr", type=float, default=1e-4)
     pt.add_argument("--warmup-updates", type=int, default=1000)

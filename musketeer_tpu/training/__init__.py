@@ -8,6 +8,7 @@ __all__ = [
 ]
 from .checkpoint import (
     CheckpointManager, export_pt, import_pt, load_checkpoint, save_checkpoint,
+    wait_for_saves,
 )
 from .trainer import EarlyStopper, train_loop
 from .metrics import MetricsLogger, SmoothedMeter, named_scope, profile_trace

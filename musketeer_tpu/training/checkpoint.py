@@ -27,26 +27,59 @@ def _ckpt_dir(save_dir: str, name: str) -> str:
     return os.path.join(save_dir, name)
 
 
+_async_ckptr = None
+
+
+def _get_async_ckptr():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.StandardCheckpointer()
+    return _async_ckptr
+
+
+def wait_for_saves():
+    """Block until all in-flight async checkpoint writes land."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(
     save_dir: str,
     state: TrainState,
     name: str = "checkpoint_last",
     extra: Optional[Dict[str, Any]] = None,
+    async_save: bool = False,
 ):
-    """Write a checkpoint (orbax StandardCheckpointer)."""
+    """Write a checkpoint (orbax StandardCheckpointer).
+
+    ``async_save=True`` returns once device arrays are snapshotted and the
+    write continues in a background thread (the reference's ioPath async
+    writes, ref: train.py:84-92, checkpoint_utils.py:517-526); call
+    :func:`wait_for_saves` before reading it back or exiting.
+    """
     import orbax.checkpoint as ocp
 
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.abspath(_ckpt_dir(save_dir, name))
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, dict(
-            step=np.asarray(state.step),
-            params=state.params,
-            opt_state=state.opt_state,
-            ema_params=state.ema_params,
-        ))
+    tree = dict(
+        step=np.asarray(state.step),
+        params=state.params,
+        opt_state=state.opt_state,
+        ema_params=state.ema_params,
+    )
+    if async_save:
+        ckptr = _get_async_ckptr()
+        ckptr.wait_until_finished()  # serialize with any previous save
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, tree)
+    else:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, tree)
     if extra is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(extra, f)
@@ -58,6 +91,7 @@ def load_checkpoint(
     """Restore into the template's structure/shardings."""
     import orbax.checkpoint as ocp
 
+    wait_for_saves()  # same-process async writes must land first
     path = os.path.abspath(_ckpt_dir(save_dir, name))
     with ocp.StandardCheckpointer() as ckptr:
         # the saved tree may or may not carry an EMA shadow; adapt the
@@ -103,6 +137,7 @@ class CheckpointManager:
     maximize_best_checkpoint_metric: bool = True
     keep_best_checkpoints: int = -1
     save_interval_updates: int = 0
+    async_save: bool = False  # background writes (wait_for_saves to flush)
 
     def __post_init__(self):
         self._best: List[Tuple[float, str]] = []
@@ -123,27 +158,29 @@ class CheckpointManager:
             "val_metric": val_metric,
         }
         if end_of_epoch:
-            save_checkpoint(self.save_dir, state, f"checkpoint{epoch}", extra)
+            save_checkpoint(self.save_dir, state, f"checkpoint{epoch}", extra, self.async_save)
             written.append(f"checkpoint{epoch}")
         if (
             self.save_interval_updates > 0
             and num_updates % self.save_interval_updates == 0
         ):
             name = f"checkpoint_{epoch}_{num_updates}"
-            save_checkpoint(self.save_dir, state, name, extra)
+            save_checkpoint(self.save_dir, state, name, extra, self.async_save)
             written.append(name)
         if val_metric is not None:
             sign = 1.0 if self.maximize_best_checkpoint_metric else -1.0
             is_best = all(sign * val_metric >= sign * v for v, _ in self._best) or not self._best
             if is_best:
-                save_checkpoint(self.save_dir, state, "checkpoint_best", extra)
+                save_checkpoint(self.save_dir, state, "checkpoint_best", extra, self.async_save)
                 written.append("checkpoint_best")
             if self.keep_best_checkpoints > 0:
                 name = f"checkpoint.best_{self.best_checkpoint_metric}_{val_metric:.4f}"
-                save_checkpoint(self.save_dir, state, name, extra)
+                save_checkpoint(self.save_dir, state, name, extra, self.async_save)
                 written.append(name)
                 self._best.append((val_metric, name))
                 self._best.sort(key=lambda t: -sign * t[0])
+                if self.async_save and self._best[self.keep_best_checkpoints :]:
+                    wait_for_saves()  # never rmtree an in-flight write
                 for _, old in self._best[self.keep_best_checkpoints :]:
                     p = _ckpt_dir(self.save_dir, old)
                     if os.path.exists(p):
@@ -151,7 +188,7 @@ class CheckpointManager:
                     if os.path.exists(p + ".meta.json"):
                         os.remove(p + ".meta.json")
                 self._best = self._best[: self.keep_best_checkpoints]
-        save_checkpoint(self.save_dir, state, "checkpoint_last", extra)
+        save_checkpoint(self.save_dir, state, "checkpoint_last", extra, self.async_save)
         written.append("checkpoint_last")
         return written
 

@@ -15,7 +15,7 @@ from typing import Callable, Dict, Optional
 import jax
 
 from ..config import TrainConfig
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, wait_for_saves
 from .train_state import TrainState
 from .train_step import make_train_step
 
@@ -68,6 +68,7 @@ def train_loop(
             maximize_best_checkpoint_metric=cfg.maximize_best_checkpoint_metric,
             keep_best_checkpoints=cfg.keep_best_checkpoints,
             save_interval_updates=cfg.save_interval_updates,
+            async_save=cfg.async_save,
         )
         if save_dir
         else None
@@ -123,4 +124,5 @@ def train_loop(
         if out_of_time():
             break
         epoch += 1
+    wait_for_saves()  # flush async checkpoint writes before returning
     return state

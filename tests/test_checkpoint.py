@@ -32,6 +32,37 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_save returns before the write lands; load (which flushes
+    in-flight writes) restores identical values."""
+    from musketeer_tpu.training import wait_for_saves
+
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    optim = OptimConfig()
+    state = init_train_state(params, optim)._replace(step=jnp.int32(5))
+    save_checkpoint(str(tmp_path), state, "async1", {"e": 1}, async_save=True)
+    # immediately load without an explicit wait — load flushes internally
+    template = init_train_state(
+        ofa.init_ofa_params(jax.random.PRNGKey(9), cfg), optim
+    )
+    restored, meta = load_checkpoint(str(tmp_path), template, "async1")
+    assert int(restored.step) == 5 and meta["e"] == 1
+    np.testing.assert_array_equal(
+        np.asarray(state.params["embed_tokens"]),
+        np.asarray(restored.params["embed_tokens"]),
+    )
+    # two back-to-back async saves serialize cleanly
+    save_checkpoint(str(tmp_path), state, "async2", None, async_save=True)
+    save_checkpoint(
+        str(tmp_path), state._replace(step=jnp.int32(7)), "async2", None,
+        async_save=True,
+    )
+    wait_for_saves()
+    restored2, _ = load_checkpoint(str(tmp_path), template, "async2")
+    assert int(restored2.step) == 7
+
+
 def test_checkpoint_ema_structure_adaptation(tmp_path):
     """EMA ckpt restores into a no-EMA template (eval without --use-ema) and
     a no-EMA ckpt into an EMA-free slot — no orbax structure mismatch."""
