@@ -154,14 +154,16 @@ def label_smoothed_ce(
             y_le = jnp.log(1.0 - le)
             bonus_lin = (probs - le) / (le - 1.0) + y_le
             bonus = jnp.where(probs > le, bonus_lin, bonus)
+        # c_loss = F.nll_loss(-bonus, target) = bonus[target] — a NEGATIVE
+        # confidence bonus (log(1-p_t) < 0) that rewards confident targets.
         tgt_bonus = jnp.take_along_axis(bonus, tgt[:, None], axis=1)[:, 0]
-        c_nll = jnp.sum(-tgt_bonus * weights)
+        c_nll = jnp.sum(tgt_bonus * weights)
         # smoothing over the real-vocab support
         real = jnp.arange(V) < Vr
         c_smooth = jnp.sum(
             jnp.sum(jnp.where(real[None, :], bonus, 0.0), axis=-1) * weights
         )
-        loss = loss + c_nll * (1.0 - epsilon) + (epsilon / V) * c_smooth
+        loss = loss + c_nll * (1.0 - epsilon) + (epsilon / Vr) * c_smooth
 
     if use_rdrop:
         halfB = B // 2

@@ -108,15 +108,49 @@ def test_image_text_matching_builder():
     assert int(bv(["1", img, "a dog", "dog"]).target_ids[0]) == yes
 
 
-def test_encouraging_loss_larger_than_ce():
+def test_encouraging_loss_smaller_than_ce():
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(2, 3, 16), jnp.float32)
     tgt = jnp.asarray(rng.randint(4, 16, (2, 3)), jnp.int32)
     base = label_smoothed_ce(logits, tgt, epsilon=0.1)
     enc = label_smoothed_ce(logits, tgt, epsilon=0.1, encouraging_log_end=0.75)
-    # bonus term is -log(1-p) based; total loss strictly larger
-    assert float(enc.loss) > float(base.loss)
+    # ref (label_smoothed_encouraging_loss.py:306-314): c_loss =
+    # F.nll_loss(-bonus, tgt) = log(1-p_t) < 0 — a confidence BONUS, so the
+    # encouraging total is strictly smaller than plain smoothed CE.
+    assert float(enc.loss) < float(base.loss)
     assert float(enc.nll_loss) == float(base.nll_loss)
+
+
+def test_encouraging_loss_torch_parity():
+    """Bonus term matches a plain-torch restatement of the reference
+    formula (label_smoothed_encouraging_loss.py:297-314)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    B, T, V = 2, 4, 16
+    eps, log_end = 0.1, 0.75
+    logits_np = rng.randn(B, T, V).astype(np.float32)
+    tgt_np = rng.randint(4, V, (B, T)).astype(np.int64)
+
+    base = label_smoothed_ce(jnp.asarray(logits_np), jnp.asarray(tgt_np), epsilon=eps)
+    enc = label_smoothed_ce(
+        jnp.asarray(logits_np), jnp.asarray(tgt_np), epsilon=eps,
+        encouraging_log_end=log_end,
+    )
+    got_c_loss = float(enc.loss) - float(base.loss)
+
+    lprobs = F.log_softmax(torch.from_numpy(logits_np).view(-1, V), dim=-1)
+    target = torch.from_numpy(tgt_np).view(-1)
+    probs = torch.exp(lprobs)
+    bonus = torch.log(torch.clamp(1.0 - probs, min=1e-5))
+    y_log_end = torch.log(torch.ones_like(probs) - log_end)
+    bonus_lin = 1 / (log_end - torch.ones_like(probs)) * (probs - log_end) + y_log_end
+    bonus = torch.where(probs > log_end, bonus_lin, bonus)
+    c_loss = F.nll_loss(-bonus, target, reduction="sum")
+    c_loss = c_loss * (1 - eps) + (eps / V) * bonus.sum()
+    assert float(c_loss) < 0  # it is a bonus
+    np.testing.assert_allclose(got_c_loss, float(c_loss), rtol=1e-4, atol=1e-4)
 
 
 def test_drop_best_keeps_hardest():
