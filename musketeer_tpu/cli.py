@@ -75,6 +75,9 @@ def cmd_train(args):
         ),
         stop_time_hours=args.stop_time_hours,
         async_save=args.async_save,
+        save_interval_updates=args.save_interval_updates,
+        validate_interval_updates=args.validate_interval_updates,
+        keep_best_checkpoints=args.keep_best_checkpoints,
         criterion=CriterionConfig(
             label_smoothing=args.label_smoothing,
             drop_worst_ratio=args.drop_worst_ratio,
@@ -135,6 +138,7 @@ def cmd_train(args):
         state = train_loop(
             cfg, model_cfg, state, loader, validate_fn=validate_fn,
             save_dir=args.save_dir, max_epoch=args.max_epoch,
+            resume=not args.no_resume,
         )
     logger.info("done at update %d", int(state.step))
 
@@ -319,8 +323,11 @@ def cmd_vqgan_encode(args):
                 code_str = " ".join(str(int(c)) for c in row_ids.reshape(-1))
                 out.write(f"{r[0]}\t{r[1]}\t{code_str}\n")
                 n_written += 1
-    logger.info("wrote %d code rows (%dx%d grid) to %s",
-                n_written, ids.shape[1], ids.shape[2], args.out)
+    if n_written > 0:
+        logger.info("wrote %d code rows (%dx%d grid) to %s",
+                    n_written, ids.shape[1], ids.shape[2], args.out)
+    else:
+        logger.info("wrote 0 code rows to %s (empty input)", args.out)
 
 
 def main(argv=None):
@@ -331,6 +338,13 @@ def main(argv=None):
     _add_common(pt)
     pt.add_argument("--tasks", required=True, help="name=path.tsv[,name=path...]")
     pt.add_argument("--save-dir", default=None)
+    pt.add_argument("--no-resume", action="store_true",
+                    help="do not auto-restore checkpoint_last from --save-dir")
+    pt.add_argument("--save-interval-updates", type=int, default=0,
+                    help="mid-epoch checkpoint every N updates")
+    pt.add_argument("--validate-interval-updates", type=int, default=0,
+                    help="mid-epoch validation every N updates")
+    pt.add_argument("--keep-best-checkpoints", type=int, default=-1)
     pt.add_argument("--async-save", action="store_true",
                     help="background checkpoint writes")
     pt.add_argument("--restore-pt", default=None)

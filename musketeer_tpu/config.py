@@ -255,6 +255,7 @@ class TrainConfig:
     bf16: bool = True
     ema_decay: float = 0.0  # 0 disables EMA
     save_interval_updates: int = 0
+    validate_interval_updates: int = 0  # mid-epoch validation (ref: train.py:366-433)
     async_save: bool = False  # background checkpoint writes
     keep_best_checkpoints: int = -1
     best_checkpoint_metric: str = "score"

@@ -141,6 +141,16 @@ class CheckpointManager:
 
     def __post_init__(self):
         self._best: List[Tuple[float, str]] = []
+        # running best metric, tracked UNCONDITIONALLY (the reference keeps
+        # save_checkpoint.best regardless of keep_best_checkpoints,
+        # ref: utils/checkpoint_utils.py:42-83)
+        self._best_val: Optional[float] = None
+
+    def restore_policy(self, meta: Dict[str, Any]):
+        """Re-seed the best-metric tracker from a resumed checkpoint's meta."""
+        bv = meta.get("best_val")
+        if bv is not None:
+            self._best_val = float(bv)
 
     def step(
         self,
@@ -149,27 +159,39 @@ class CheckpointManager:
         num_updates: int,
         val_metric: Optional[float] = None,
         end_of_epoch: bool = False,
+        steps_in_epoch: int = 0,
     ) -> List[str]:
         """Decide + perform saves. Returns names written."""
         written = []
+        sign = 1.0 if self.maximize_best_checkpoint_metric else -1.0
+        is_best = val_metric is not None and (
+            self._best_val is None or sign * val_metric >= sign * self._best_val
+        )
+        if is_best:
+            self._best_val = float(val_metric)
         extra = {
             "epoch": epoch,
             "num_updates": num_updates,
             "val_metric": val_metric,
+            "end_of_epoch": end_of_epoch,
+            "steps_in_epoch": steps_in_epoch,
+            "best_val": self._best_val,
         }
         if end_of_epoch:
             save_checkpoint(self.save_dir, state, f"checkpoint{epoch}", extra, self.async_save)
             written.append(f"checkpoint{epoch}")
         if (
             self.save_interval_updates > 0
+            and not end_of_epoch
+            and num_updates > 0
             and num_updates % self.save_interval_updates == 0
         ):
+            # ref requires a genuine mid-epoch update boundary
+            # (checkpoint_utils.py:74-78)
             name = f"checkpoint_{epoch}_{num_updates}"
             save_checkpoint(self.save_dir, state, name, extra, self.async_save)
             written.append(name)
         if val_metric is not None:
-            sign = 1.0 if self.maximize_best_checkpoint_metric else -1.0
-            is_best = all(sign * val_metric >= sign * v for v, _ in self._best) or not self._best
             if is_best:
                 save_checkpoint(self.save_dir, state, "checkpoint_best", extra, self.async_save)
                 written.append("checkpoint_best")

@@ -56,6 +56,7 @@ def train_loop(
     log_interval: int = 10,
     max_epoch: Optional[int] = None,
     on_metrics: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    resume: bool = True,
 ) -> TrainState:
     step_fn = make_train_step(
         model_cfg, cfg.criterion, cfg.optim, ema_decay=cfg.ema_decay, donate=True
@@ -74,9 +75,36 @@ def train_loop(
         else None
     )
 
+    # ---- auto-resume from checkpoint_last (ref: train.py:176-181,
+    # trainer.py:566-626 restore state + iterator position)
+    start_epoch, skip_steps = 1, 0
+    if resume and save_dir is not None:
+        import os
+
+        from .checkpoint import load_checkpoint
+
+        last = os.path.join(save_dir, "checkpoint_last")
+        if os.path.isdir(last):
+            state, meta = load_checkpoint(save_dir, state)
+            if meta.get("end_of_epoch", True):
+                start_epoch = int(meta.get("epoch", 0)) + 1
+            else:
+                start_epoch = int(meta.get("epoch", 1))
+                skip_steps = int(meta.get("steps_in_epoch", 0))
+            if ckpt_mgr is not None:
+                ckpt_mgr.restore_policy(meta)
+            stopper.best = meta.get("best_val")
+            logger.info(
+                "resumed from %s: update %d, epoch %d, skip %d steps",
+                last, int(state.step), start_epoch, skip_steps,
+            )
+
     rng = jax.random.PRNGKey(cfg.seed)
     max_epoch = max_epoch or cfg.max_epoch or 1
     train_t0 = time.time()
+    # host-side update counter for per-step rng folding — reading
+    # int(state.step) each iteration would force a device→host sync
+    host_step = int(state.step)
 
     def out_of_time() -> bool:
         # wall-clock budget (ref: train.py:387-397 stop_time_hours)
@@ -85,19 +113,35 @@ def train_loop(
             and (time.time() - train_t0) / 3600.0 > cfg.stop_time_hours
         )
 
-    epoch = 1
+    def run_validate(st: TrainState) -> Optional[float]:
+        if validate_fn is None:
+            return None
+        # validate on the EMA shadow when EMA is on — best-checkpoint
+        # selection follows the EMA metric (ref: trainer.py:1042-1101)
+        if cfg.ema_decay > 0 and st.ema_params is not None:
+            st = st._replace(params=st.ema_params)
+        return validate_fn(st)
+
+    epoch = start_epoch
     while epoch <= max_epoch:
         loader.set_epoch(epoch)
         t0 = time.time()
-        n_steps = 0
-        for batches in loader.epoch_iterator():
-            srng = jax.random.fold_in(rng, int(state.step))
+        n_steps = skip_steps
+        broke_early = False
+        it = (
+            loader.epoch_iterator(skip_steps=skip_steps)
+            if skip_steps
+            else loader.epoch_iterator()
+        )
+        for batches in it:
+            srng = jax.random.fold_in(rng, host_step)
             state, metrics = step_fn(state, batches, srng)
             n_steps += 1
-            num_updates = int(state.step)
-            if n_steps % log_interval == 0:
+            host_step += 1
+            num_updates = host_step
+            if (n_steps - skip_steps) % log_interval == 0:
                 loss = float(metrics["loss"])
-                ups = n_steps / (time.time() - t0)
+                ups = (n_steps - skip_steps) / (time.time() - t0)
                 logger.info(
                     "epoch %d step %d updates %d loss %.4f gnorm %.3f ups %.2f",
                     epoch, n_steps, num_updates, loss,
@@ -105,21 +149,58 @@ def train_loop(
                 )
                 if on_metrics is not None:
                     on_metrics(num_updates, {k: float(v) for k, v in metrics.items()})
+            # mid-epoch validate / save on update intervals
+            # (ref: train.py:366-433 validate_and_save)
+            iv_val = (
+                cfg.validate_interval_updates > 0
+                and num_updates % cfg.validate_interval_updates == 0
+            )
+            iv_save = (
+                cfg.save_interval_updates > 0
+                and num_updates % cfg.save_interval_updates == 0
+            )
+            if iv_val or iv_save:
+                vm = run_validate(state) if iv_val else None
+                if ckpt_mgr is not None:
+                    ckpt_mgr.step(
+                        state, epoch, num_updates, vm,
+                        end_of_epoch=False, steps_in_epoch=n_steps,
+                    )
+                if iv_val and stopper.should_stop(vm):
+                    logger.info(
+                        "early stop at update %d (patience %d)",
+                        num_updates, cfg.patience,
+                    )
+                    wait_for_saves()
+                    return state
             if cfg.max_update and num_updates >= cfg.max_update:
+                broke_early = True
                 break
             if out_of_time():
                 logger.info("stop_time_hours reached (%.2fh)", cfg.stop_time_hours)
+                broke_early = True
                 break
+        skip_steps = 0
 
-        val_metric = validate_fn(state) if validate_fn is not None else None
+        if broke_early:
+            # stopped mid-epoch: record the true iterator position so a
+            # restart continues where we left off (ref: trainer.py:566-626)
+            if ckpt_mgr is not None:
+                ckpt_mgr.step(
+                    state, epoch, host_step, None,
+                    end_of_epoch=False, steps_in_epoch=n_steps,
+                )
+            break
+
+        val_metric = run_validate(state)
         if ckpt_mgr is not None:
             ckpt_mgr.step(
-                state, epoch, int(state.step), val_metric, end_of_epoch=True
+                state, epoch, host_step, val_metric, end_of_epoch=True
             )
         if stopper.should_stop(val_metric):
             logger.info("early stop at epoch %d (patience %d)", epoch, cfg.patience)
             break
-        if cfg.max_update and int(state.step) >= cfg.max_update:
+        if cfg.max_update and host_step >= cfg.max_update:
             break
         if out_of_time():
             break

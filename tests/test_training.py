@@ -236,3 +236,87 @@ def test_nonfinite_grads_skip_update():
     b = jax.tree.leaves(state2.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(np.asarray(b)).all()
+
+
+def test_train_loop_resume_equivalence(tmp_path):
+    """Kill a run mid-epoch, restart from checkpoint_last: same final state
+    as an uninterrupted run (ref: train.py:176-181, trainer.py:566-626 —
+    restore full state + iterator position)."""
+    from dataclasses import replace
+
+    from musketeer_tpu.config import TrainConfig, ofa_tiny
+    from musketeer_tpu.training.trainer import train_loop
+
+    cfg = replace(
+        ofa_tiny(), embed_dim=32, ffn_dim=64, encoder_layers=1,
+        decoder_layers=1, attention_heads=4, vocab_size=64,
+        padded_vocab_size=64, resnet_layers=(1, 1, 1), dtype="float32",
+    )
+    optim = OptimConfig(lr=1e-3, warmup_updates=1, total_updates=100)
+
+    class Loader:
+        def set_epoch(self, e):
+            self.e = e
+
+        def epoch_iterator(self, skip_steps=0):
+            rng = np.random.RandomState(100 + self.e)
+            for i in range(4):
+                src = rng.randint(4, 60, (1, 2, 6)).astype(np.int32)
+                tgt = rng.randint(4, 60, (1, 2, 4)).astype(np.int32)
+                if i < skip_steps:
+                    continue  # same rng stream, examples skipped
+                prev = np.roll(tgt, 1, -1)
+                prev[..., 0] = cfg.bos
+                yield {"t": TaskBatch(
+                    src_tokens=jnp.asarray(src),
+                    prev_output_tokens=jnp.asarray(prev),
+                    target=jnp.asarray(tgt),
+                )}
+
+    def mk_state():
+        params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+        return init_train_state(params, optim)
+
+    base = TrainConfig(optim=optim, criterion=CriterionConfig(), max_epoch=2)
+
+    full = train_loop(base, cfg, mk_state(), Loader(), save_dir=str(tmp_path / "full"))
+    assert int(full.step) == 8  # 2 epochs x 4 steps
+
+    part_dir = str(tmp_path / "part")
+    killed = train_loop(
+        replace(base, max_update=3), cfg, mk_state(), Loader(), save_dir=part_dir
+    )
+    assert int(killed.step) == 3  # stopped mid-epoch 1
+    resumed = train_loop(base, cfg, mk_state(), Loader(), save_dir=part_dir)
+    assert int(resumed.step) == 8
+
+    for a, b in zip(jax.tree.leaves(full.params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_best_requires_improvement(tmp_path):
+    """checkpoint_best is only rewritten on metric improvement even with
+    keep_best_checkpoints=-1 (ref: utils/checkpoint_utils.py:42-83)."""
+    import os
+
+    from musketeer_tpu.training import CheckpointManager
+
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, OptimConfig())
+    mgr = CheckpointManager(str(tmp_path))  # default keep_best=-1
+    w1 = mgr.step(state, 1, 10, val_metric=0.5, end_of_epoch=True)
+    assert "checkpoint_best" in w1
+    w2 = mgr.step(state, 2, 20, val_metric=0.3, end_of_epoch=True)
+    assert "checkpoint_best" not in w2  # worse metric: do not overwrite
+    w3 = mgr.step(state, 3, 30, val_metric=0.6, end_of_epoch=True)
+    assert "checkpoint_best" in w3
+    # interval saves: never at update 0, never duplicated at end-of-epoch
+    mgr2 = CheckpointManager(str(tmp_path), save_interval_updates=10)
+    w = mgr2.step(state, 1, 0, end_of_epoch=False)
+    assert not any("checkpoint_1_0" in n for n in w)
+    w = mgr2.step(state, 1, 10, end_of_epoch=True)
+    assert not any(n.startswith("checkpoint_1_") for n in w)
+    w = mgr2.step(state, 1, 10, end_of_epoch=False, steps_in_epoch=5)
+    assert "checkpoint_1_10" in w
+    assert os.path.exists(tmp_path / "checkpoint_1_10.meta.json")
