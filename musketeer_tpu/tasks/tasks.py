@@ -18,6 +18,7 @@ from ..data import task_data as D
 from ..generation import DenseTrie, beam_search
 from ..models import ofa
 from ..utils.cider import CiderD
+from ..utils.summary_detok import normalize_summary_hyp
 from ..utils.eval_utils import (
     box_iou_accuracy, debin_boxes, score_candidates_span,
 )
@@ -444,7 +445,9 @@ class GigawordTask(Task):
             toks = np.asarray(toks)
             for i, e in enumerate(batch["extras"]):
                 seq = [int(t) for t in toks[i, 0] if t not in (v.pad, v.eos)]
-                hyp = v.decode_ids(seq)
+                # ref normalization before ROUGE (gigaword.py:283):
+                # lower + fix_tokenization + <unk>/digit rewrites
+                hyp = normalize_summary_hyp(v.decode_ids(seq))
                 s = scorer.score(e["target_text"], hyp)
                 for k in agg:
                     agg[k].append(s[k].fmeasure)
