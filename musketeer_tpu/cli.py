@@ -183,6 +183,9 @@ def cmd_evaluate(args):
         logger.warning("no checkpoint given; evaluating random init")
         params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
 
+    if args.int8_output_proj:
+        params = ofa.quantize_output_proj(params)
+
     task_kw = {}
     if args.task not in ("gigaword", "cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli"):
         task_kw["patch_image_size"] = args.patch_image_size
@@ -252,6 +255,9 @@ def cmd_evaluate_all(args):
     else:
         logger.warning("no checkpoint given; evaluating random init")
         params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
+
+    if args.int8_output_proj:
+        params = ofa.quantize_output_proj(params)
 
     results = {}
     for item in args.tasks.split(","):
@@ -398,12 +404,16 @@ def main(argv=None):
     pe.add_argument("--diversity-strength", type=float, default=0.5)
     pe.add_argument("--results-json", default=None,
                     help="dump per-example predictions (test_predict.json style)")
+    pe.add_argument("--int8-output-proj", action="store_true",
+                    help="serve with int8 output projection (halves the "
+                         "decode loop's HBM weight read; ~1e-2 logit error)")
     pe.set_defaults(fn=cmd_evaluate)
 
     pa = sub.add_parser("evaluate-all")
     _add_common(pa)
     pa.add_argument("--tasks", required=True, help="name=path.tsv[,name=path...]")
     pa.add_argument("--pt", default=None)
+    pa.add_argument("--int8-output-proj", action="store_true")
     pa.set_defaults(fn=cmd_evaluate_all)
 
     pv = sub.add_parser("vqgan-encode")

@@ -134,6 +134,52 @@ def random_crop(
     return img, boxes
 
 
+def resize_shortest_side(
+    img: Image.Image,
+    boxes: Optional[np.ndarray],
+    size: int,
+    max_size: Optional[int] = None,
+) -> Tuple[Image.Image, Optional[np.ndarray]]:
+    """Shortest-side resize with aspect ratio, each dim capped at max_size
+    (ref: utils/transforms.py:95-140 get_size_with_aspect_ratio — the cap
+    clamps dims independently, intentionally allowing mild distortion)."""
+    w, h = img.size
+    if w < h:
+        ow, oh = size, int(size * h / w)
+    else:
+        oh, ow = size, int(size * w / h)
+    if max_size is not None:
+        ow, oh = min(ow, max_size), min(oh, max_size)
+    out = img.resize((ow, oh), Image.BICUBIC)
+    if boxes is not None and len(boxes):
+        boxes = boxes * np.asarray(
+            [ow / w, oh / h, ow / w, oh / h], np.float32
+        )
+    return out, boxes
+
+
+def object_center_crop(
+    img: Image.Image,
+    boxes: np.ndarray,  # [N, 4]; window centered on boxes[0]
+    out_w: int,
+    out_h: int,
+) -> Tuple[Image.Image, np.ndarray]:
+    """Crop an (out_w, out_h) window centered on the first box, shifted to
+    stay inside the image (ref: utils/transforms.py:176-194 ObjectCenterCrop
+    with delete=False). Boxes are offset and clipped to the window."""
+    w, h = img.size
+    cx = (float(boxes[0][0]) + float(boxes[0][2])) / 2
+    cy = (float(boxes[0][1]) + float(boxes[0][3])) / 2
+    left = max(cx - out_w / 2 + min(w - cx - out_w / 2, 0), 0)
+    top = max(cy - out_h / 2 + min(h - cy - out_h / 2, 0), 0)
+    left, top = int(left), int(top)
+    img = img.crop((left, top, left + out_w, top + out_h))
+    boxes = boxes.copy()
+    boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]] - left, 0, out_w)
+    boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]] - top, 0, out_h)
+    return img, boxes
+
+
 def large_scale_jitter(
     img: Image.Image,
     boxes: Optional[np.ndarray],

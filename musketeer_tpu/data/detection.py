@@ -20,6 +20,7 @@ from typing import Sequence
 import numpy as np
 
 from . import prompts as P
+from .augment import horizontal_flip
 from .task_data import BuilderBase, Example
 from .transforms import decode_base64_image, positioning_resize
 
@@ -49,6 +50,11 @@ class DetectionBuilder(BuilderBase):
             else np.arange(len(boxes))
         )
         boxes, labels = boxes[order], [labels[i] for i in order]
+
+        # train-time box-aware flip (ref: detection_dataset.py:167-172
+        # RandomHorizontalFlip before the square resize)
+        if self.split == "train" and self.rng.rand() < 0.5:
+            image, boxes = horizontal_flip(image.convert("RGB"), boxes)
 
         patch, boxes_norm, w_r, h_r = positioning_resize(
             image, boxes, self.patch_image_size, self.max_image_size,

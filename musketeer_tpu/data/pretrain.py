@@ -221,12 +221,30 @@ class VisualGroundingBuilder(BuilderBase):
     task = "visual_grounding"
 
     def __init__(self, *a, num_bins: int = 1000, max_image_size: int = 512,
-                 mode: str = "grounding", **kw):
+                 mode: str = "grounding", seed: int = 0, **kw):
         super().__init__(*a, **kw)
         assert mode in ("grounding", "region_caption"), mode
         self.num_bins = num_bins
         self.max_image_size = max_image_size
         self.mode = mode
+        self.rng = np.random.RandomState(seed)
+
+    def _train_transform(self, image, box):
+        """Shortest-side RandomResize (patch..480, cap 672) + box-centered
+        crop to the patch size (ref: unify_dataset.py:229-234
+        visual_grounding_transform = RandomResize(scales, 672) +
+        ObjectCenterCrop(patch))."""
+        from .augment import object_center_crop, resize_shortest_side
+        from .transforms import normalize
+
+        S = self.patch_image_size
+        size = int(self.rng.randint(S, max(481, S + 1)))
+        img, box = resize_shortest_side(image.convert("RGB"), box, size, 672)
+        img, box = object_center_crop(img, box, S, S)
+        patch = normalize(
+            np.asarray(img, np.float32) / 255.0, self.imagenet_stats
+        )
+        return patch, box / self.max_image_size
 
     def __call__(self, row: Sequence[str]) -> Example:
         uniq_id, image_b64, caption, region = row[0], row[1], row[2], row[3]
@@ -234,10 +252,14 @@ class VisualGroundingBuilder(BuilderBase):
         box = np.asarray(
             [[float(v) for v in region.strip().split(",")]], np.float32
         )
-        patch, boxes_norm, w_r, h_r = positioning_resize(
-            image, box, self.patch_image_size, self.max_image_size,
-            self.imagenet_stats,
-        )
+        if self.split == "train":
+            patch, boxes_norm = self._train_transform(image, box)
+            w_r = h_r = 1.0
+        else:
+            patch, boxes_norm, w_r, h_r = positioning_resize(
+                image, box, self.patch_image_size, self.max_image_size,
+                self.imagenet_stats,
+            )
         quant = np.round(boxes_norm[0] * (self.num_bins - 1)).astype(int)
         region_tokens = " ".join(f"<bin_{int(v)}>" for v in quant)
 

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..config import GenerationConfig, ModelConfig
 from ..models import ofa
+from .lexical import constraint_transition, stripe_key
 from .trie import DenseTrie
 
 NEG_INF = -1e9
@@ -46,6 +47,7 @@ class BeamState(NamedTuple):
     dec_state: ofa.DecoderState  # flattened to B*K rows
     trie_nodes: Optional[jnp.ndarray]  # [B, K] int32 trie cursor (or None)
     rng: Optional[jax.Array] = None  # sampling mode only
+    cons_ptr: Optional[jnp.ndarray] = None  # [B, K] lexical-constraint pointer
 
 
 def _flat(x):
@@ -140,18 +142,33 @@ def beam_search(
     code_masks_value: bool = False,  # gen_code → decoder image positions
     rng: Optional[jax.Array] = None,  # required when gen_cfg.sampling
     src_lengths: Optional[jnp.ndarray] = None,  # [B] → per-sentence min/max
+    constraints: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run constrained beam search. Returns (tokens [B,K,max_len+2], scores [B,K]).
 
     Output rows are sorted by descending normalized score; tokens start after
     bos (i.e. row = generated sequence incl. final eos, pad-filled), matching
     the reference's hypo format (ref: finalize_hypos, sequence_generator.py:665).
+
+    ``constraints``: (cons_tokens [B, C], phrase_start [B, C]) from
+    :func:`musketeer_tpu.generation.lexical.pack_constraints` — enables the
+    lexically constrained mode (ref: models/search.py:210-524, Post & Vilar
+    dynamic beam allocation), incompatible with sampling/diverse modes.
     """
     B = encoder_out.x.shape[0]
     K = gen_cfg.beam_size
     bos, pad, eos, unk = cfg.bos, cfg.pad, cfg.eos, cfg.unk
     Vp = cfg.padded_vocab_size
     T = max_len + 2
+
+    if constraints is not None:
+        assert not gen_cfg.sampling and gen_cfg.diverse_beam_groups <= 1 \
+            and gen_cfg.diversity_rate == 0, \
+            "lexical constraints don't compose with sampling/diverse modes"
+        cons_t = jnp.asarray(constraints[0], jnp.int32)  # [B, C]
+        starts_t = jnp.asarray(constraints[1], jnp.int32)
+        cons_total = jnp.sum(cons_t != pad, axis=1).astype(jnp.int32)  # [B]
+        Cc = cons_t.shape[1]
 
     code_masks = (
         jnp.ones((B * K,), bool) if code_masks_value else None
@@ -186,6 +203,7 @@ def beam_search(
         dec_state=dec_state,
         trie_nodes=jnp.zeros((B, K), jnp.int32) if trie is not None else None,
         rng=rng if gen_cfg.sampling else None,
+        cons_ptr=jnp.zeros((B, K), jnp.int32) if constraints is not None else None,
     )
 
     prefix_len = 0 if prefix_tokens is None else prefix_tokens.shape[1]
@@ -344,6 +362,18 @@ def beam_search(
         only_eos = jnp.full_like(lprobs, NEG_INF).at[:, eos].set(0.0)
         lprobs = jnp.where(at_max[:, None], only_eos, lprobs)
 
+        # lexical constraints: eos blocked until all constraints are met
+        # (ref: search.py:309-323 "Prevent EOS for unfinished hyps"). Applied
+        # after the at-max forcing: a hypothesis with unmet constraints can
+        # NEVER finalize — stricter than the reference, which finalizes
+        # unmet hypos at max_len; callers get a constraint-satisfying output
+        # or the un-eos'd alive fallback.
+        if constraints is not None:
+            cons_unfinished = s.cons_ptr < cons_total[:, None]  # [B, K]
+            lprobs = lprobs.at[:, eos].add(
+                jnp.where(_flat(cons_unfinished), NEG_INF, 0.0)
+            )
+
         if gen_cfg.no_repeat_ngram_size > 0:
             can_block = step + 2 - gen_cfg.no_repeat_ngram_size >= 0
             blocked = _apply_no_repeat_ngram(
@@ -356,7 +386,43 @@ def beam_search(
 
         # ---- grow: top-2K candidates per sentence over K*V scores
         G = gen_cfg.diverse_beam_groups
-        if G > 1:
+        cand_ptr = None
+        if constraints is not None:
+            # Post & Vilar dynamic beam allocation (ref: search.py:264-300):
+            # candidates = global top-2K ∪ each beam's forced next-constraint
+            # token; banks (= constraint tokens consumed) share the beam via
+            # stripe ranks instead of pure score order.
+            lp3 = _unflat(lprobs, B, K)
+            cand = lp3 + s.alive_scores[:, :, None]
+            sc2k, idx2k = jax.lax.top_k(cand.reshape(B, K * Vp), 2 * K)
+            ptr_clamped = jnp.minimum(s.cons_ptr, Cc - 1)
+            next_tok = jnp.take_along_axis(cons_t, ptr_clamped, axis=1)  # [B,K]
+            unf = s.cons_ptr < cons_total[:, None]
+            forced_sc = (
+                jnp.take_along_axis(lp3, next_tok[:, :, None], axis=2)[..., 0]
+                + s.alive_scores
+            )
+            forced_sc = jnp.where(unf, forced_sc, NEG_INF)
+            topk_scores = jnp.concatenate([sc2k, forced_sc], axis=1)  # [B,3K]
+            topk_beams = jnp.concatenate(
+                [idx2k // Vp, jnp.broadcast_to(jnp.arange(K)[None], (B, K))],
+                axis=1,
+            )
+            topk_toks = jnp.concatenate([idx2k % Vp, next_tok], axis=1)
+            # dedup: a forced candidate may coincide with a top-2K one
+            same = (topk_beams[:, None, :] == topk_beams[:, :, None]) & (
+                topk_toks[:, None, :] == topk_toks[:, :, None]
+            )
+            Nc = 3 * K
+            earlier = (jnp.arange(Nc)[None, :] < jnp.arange(Nc)[:, None])[None]
+            dup = jnp.any(same & earlier, axis=2)
+            topk_scores = jnp.where(dup, NEG_INF, topk_scores)
+            # per-candidate constraint-pointer transition → bank id
+            ptr_cand = jnp.take_along_axis(s.cons_ptr, topk_beams, axis=1)
+            cand_ptr = constraint_transition(
+                cons_t, starts_t, cons_total, ptr_cand, topk_toks
+            )
+        elif G > 1:
             # grouped Hamming diversity (ref: models/search.py:551-618):
             # groups pick in order; later groups pay `strength` per earlier
             # selection of the same token this step. Group g owns beams
@@ -420,7 +486,15 @@ def beam_search(
 
         # ---- alive set: top-K non-eos candidates
         alive_cand_scores = jnp.where(is_eos, NEG_INF, topk_scores)
-        if G > 1:
+        if constraints is not None:
+            # lexicographic (stripe rank asc, score desc) selection so every
+            # bank keeps its best hypotheses (ref: search.py:275-281)
+            key = stripe_key(cand_ptr, alive_cand_scores)
+            _, alive_top_idx = jax.lax.top_k(key, K)
+            alive_top_scores = jnp.take_along_axis(
+                alive_cand_scores, alive_top_idx, axis=1
+            )
+        elif G > 1:
             # group-local pruning keeps beams g::G owned by group g (the
             # reference's candidate-order active selection has the same
             # effect, sequence_generator.py active_mask over grouped cands)
@@ -464,6 +538,11 @@ def beam_search(
         else:
             trie_nodes = None
 
+        new_cons_ptr = (
+            jnp.take_along_axis(cand_ptr, alive_top_idx, axis=1)
+            if constraints is not None
+            else None
+        )
         return BeamState(
             step=step + 1,
             alive_tokens=alive_tokens,
@@ -472,6 +551,7 @@ def beam_search(
             finished_scores=fin_top_scores,
             dec_state=new_dec,
             trie_nodes=trie_nodes,
+            cons_ptr=new_cons_ptr,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -498,6 +578,7 @@ def generate(
     patch_masks: Optional[jnp.ndarray] = None,
     prefix_tokens: Optional[jnp.ndarray] = None,
     trie: Optional[DenseTrie] = None,
+    constraints: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """encode + beam_search, jit-friendly end to end.
 
@@ -521,4 +602,5 @@ def generate(
         trie=trie,
         code_masks_value=gen_cfg.gen_code,
         src_lengths=src_lengths,
+        constraints=constraints,
     )

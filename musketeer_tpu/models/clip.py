@@ -36,6 +36,10 @@ class ClipConfig:
     transformer_width: int = 512
     transformer_layers: int = 12
     transformer_heads: int = 8
+    # ModifiedResNet tower (RN50/101-CLIP, ref: models/clip/model.py:118-180);
+    # when set, vision_width is the stem width (64 for RN50) and the
+    # ViT fields above are ignored for the image tower
+    rn_layers: Optional[tuple] = None
 
 
 def _ln(p, x, eps=1e-5):
@@ -77,8 +81,89 @@ def _block(p, x, heads, causal_mask=None):
     return x + h
 
 
+# ---------------------------------------------------------------------------
+# ModifiedResNet image tower (RN50/101-CLIP, ref: models/clip/model.py:20-180)
+# Inference-only: BatchNorms are folded to per-channel scale/shift at convert
+# time, convs run NHWC/HWIO on the MXU.
+# ---------------------------------------------------------------------------
+
+def _conv(w, x, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _bn(p, x):
+    return x * p["scale"].astype(x.dtype) + p["shift"].astype(x.dtype)
+
+
+def _avgpool(x, k):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+    ) / (k * k)
+
+
+def _bottleneck(p, x, stride: int):
+    """Anti-aliased bottleneck: stride>1 becomes avgpool after conv2
+    (ref: model.py:40-78)."""
+    out = jax.nn.relu(_bn(p["bn1"], _conv(p["conv1"], x)))
+    out = jax.nn.relu(_bn(p["bn2"], _conv(p["conv2"], out)))
+    if stride > 1:
+        out = _avgpool(out, stride)
+    out = _bn(p["bn3"], _conv(p["conv3"], out))
+    if "downsample" in p:
+        idn = x if stride == 1 else _avgpool(x, stride)
+        idn = _bn(p["ds_bn"], _conv(p["downsample"], idn))
+    else:
+        idn = x
+    return jax.nn.relu(out + idn)
+
+
+def _attention_pool(p, x, heads: int):
+    """QKV attention pool over [B,H,W,C] + mean token → [B, out_dim]
+    (ref: model.py:80-117 AttentionPool2d; only the mean-token query's
+    output is used, so we attend with a single query)."""
+    B, H, W, C = x.shape
+    toks = x.reshape(B, H * W, C)
+    toks = jnp.concatenate([toks.mean(1, keepdims=True), toks], axis=1)
+    toks = toks + p["positional_embedding"].astype(toks.dtype)[None]
+    q = _linear(p["q_proj"], toks[:, :1])
+    k = _linear(p["k_proj"], toks)
+    v = _linear(p["v_proj"], toks)
+    hd = C // heads
+    q = q.reshape(B, 1, heads, hd).transpose(0, 2, 1, 3) * (hd**-0.5)
+    k = k.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3)
+    w = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(w, axis=-1).astype(toks.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, C)
+    return _linear(p["c_proj"], out)
+
+
+def _encode_image_rn(params: Params, cfg: ClipConfig, images: jnp.ndarray):
+    v = params["visual"]
+    # 3-conv stem, stride 2 on the first; explicit (1,1) padding matches
+    # torch Conv2d(k=3, s=2, p=1) (XLA "SAME" would pad (0,1) at stride 2)
+    x = jax.nn.relu(
+        _bn(v["bn1"], _conv(v["conv1"], images, stride=2, padding=((1, 1), (1, 1))))
+    )
+    for i in (2, 3):
+        x = jax.nn.relu(_bn(v[f"bn{i}"], _conv(v[f"conv{i}"], x)))
+    x = _avgpool(x, 2)
+    for li, nblocks in enumerate(cfg.rn_layers, start=1):
+        for bi in range(nblocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            x = _bottleneck(v[f"layer{li}"][bi], x, stride)
+    heads = cfg.vision_width * 32 // 64
+    return _attention_pool(v["attnpool"], x, heads)
+
+
 def encode_image(params: Params, cfg: ClipConfig, images: jnp.ndarray) -> jnp.ndarray:
     """images [B, H, W, 3] (CLIP-normalized) → embeddings [B, embed_dim]."""
+    if cfg.rn_layers is not None:
+        return _encode_image_rn(params, cfg, images)
     v = params["visual"]
     x = jax.lax.conv_general_dilated(
         images, v["conv1"].astype(images.dtype),
@@ -129,24 +214,91 @@ def clip_scores(params, cfg, images, tokens):
 # converter from OpenAI CLIP state dict
 # ---------------------------------------------------------------------------
 
+def _fold_bn(sd, t, prefix: str, eps: float = 1e-5) -> Params:
+    """BatchNorm2d (frozen, eval) → per-channel scale/shift."""
+    w, b = t(sd[f"{prefix}.weight"]), t(sd[f"{prefix}.bias"])
+    mu, var = t(sd[f"{prefix}.running_mean"]), t(sd[f"{prefix}.running_var"])
+    scale = w / np.sqrt(var + eps)
+    return {"scale": scale, "shift": b - mu * scale}
+
+
+def _convert_rn_visual(sd, t) -> tuple[Params, tuple, int]:
+    """ModifiedResNet visual.* names → params (ref: model.py:118-180)."""
+
+    def cw(key):  # torch OIHW → HWIO
+        return t(sd[key]).transpose(2, 3, 1, 0)
+
+    rn_layers = tuple(
+        1 + max(
+            int(k.split(".")[2]) for k in sd
+            if k.startswith(f"visual.layer{li}.")
+        )
+        for li in (1, 2, 3, 4)
+    )
+    visual: Params = {}
+    for i in (1, 2, 3):
+        visual[f"conv{i}"] = cw(f"visual.conv{i}.weight")
+        visual[f"bn{i}"] = _fold_bn(sd, t, f"visual.bn{i}")
+    for li, nblocks in enumerate(rn_layers, start=1):
+        blocks = []
+        for bi in range(nblocks):
+            pre = f"visual.layer{li}.{bi}"
+            blk = {
+                "conv1": cw(f"{pre}.conv1.weight"),
+                "bn1": _fold_bn(sd, t, f"{pre}.bn1"),
+                "conv2": cw(f"{pre}.conv2.weight"),
+                "bn2": _fold_bn(sd, t, f"{pre}.bn2"),
+                "conv3": cw(f"{pre}.conv3.weight"),
+                "bn3": _fold_bn(sd, t, f"{pre}.bn3"),
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["downsample"] = cw(f"{pre}.downsample.0.weight")
+                blk["ds_bn"] = _fold_bn(sd, t, f"{pre}.downsample.1")
+            blocks.append(blk)
+        visual[f"layer{li}"] = blocks
+    ap = "visual.attnpool"
+    visual["attnpool"] = {
+        "positional_embedding": t(sd[f"{ap}.positional_embedding"]),
+        **{
+            f"{n}_proj": {
+                "w": t(sd[f"{ap}.{n}_proj.weight"]).T,
+                "b": t(sd[f"{ap}.{n}_proj.bias"]),
+            }
+            for n in ("q", "k", "v", "c")
+        },
+    }
+    width = sd["visual.layer1.0.conv1.weight"].shape[0]
+    return visual, rn_layers, width
+
+
 def convert_clip_state_dict(sd) -> tuple[Params, ClipConfig]:
-    """OpenAI CLIP torch state dict → (params, config)."""
+    """OpenAI CLIP torch state dict → (params, config). Detects ViT vs
+    ModifiedResNet towers from the key layout (ref: model.py:392-416)."""
 
     def t(x):
         return np.asarray(x.detach().cpu().float().numpy())
 
-    vision_width = sd["visual.conv1.weight"].shape[0]
-    patch = sd["visual.conv1.weight"].shape[-1]
-    vision_layers = 1 + max(
-        int(k.split(".")[3]) for k in sd if k.startswith("visual.transformer.resblocks.")
-    )
-    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+    is_rn = "visual.layer1.0.conv1.weight" in sd
+    if is_rn:
+        rn_visual, rn_layers, vision_width = _convert_rn_visual(sd, t)
+        spacial = int(round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+        image_resolution, patch, vision_layers = spacial * 32, 0, 0
+    else:
+        rn_layers = None
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        patch = sd["visual.conv1.weight"].shape[-1]
+        vision_layers = 1 + max(
+            int(k.split(".")[3]) for k in sd if k.startswith("visual.transformer.resblocks.")
+        )
+        grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+        image_resolution = grid * patch
     cfg = ClipConfig(
-        image_resolution=grid * patch,
+        image_resolution=image_resolution,
         patch_size=patch,
         vision_width=vision_width,
         vision_layers=vision_layers,
-        vision_heads=vision_width // 64,
+        vision_heads=vision_width // 64 if not is_rn else vision_width * 32 // 64,
+        rn_layers=rn_layers,
         embed_dim=sd["text_projection"].shape[1],
         context_length=sd["positional_embedding"].shape[0],
         vocab_size=sd["token_embedding.weight"].shape[0],
@@ -178,8 +330,10 @@ def convert_clip_state_dict(sd) -> tuple[Params, ClipConfig]:
     def stack(blocks):
         return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
-    params: Params = {
-        "visual": {
+    if is_rn:
+        visual = rn_visual
+    else:
+        visual = {
             "conv1": t(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0),
             "class_embedding": t(sd["visual.class_embedding"]),
             "positional_embedding": t(sd["visual.positional_embedding"]),
@@ -190,7 +344,9 @@ def convert_clip_state_dict(sd) -> tuple[Params, ClipConfig]:
                 block(f"visual.transformer.resblocks.{i}")
                 for i in range(cfg.vision_layers)
             ]),
-        },
+        }
+    params: Params = {
+        "visual": visual,
         "token_embedding": t(sd["token_embedding.weight"]),
         "positional_embedding": t(sd["positional_embedding"]),
         "ln_final": {"scale": t(sd["ln_final.weight"]), "bias": t(sd["ln_final.bias"])},

@@ -1157,9 +1157,37 @@ def decode(
     return output_layer(params, cfg, x)
 
 
+def quantize_output_proj(params: Params) -> Params:
+    """Per-row absmax int8 quantization of the tied output projection.
+
+    Inference-only serving optimization: the incremental decode loop is
+    bound by re-reading the [Vp, d] embedding from HBM every step (91 MB
+    bf16 for ofa_base); int8 halves that traffic. The input-embedding
+    lookup keeps the original weights. Apply to a params tree before
+    serving — never to a training state (the extra leaves would be
+    optimized). Dequantization is a per-vocab-row scale on the logits,
+    fused by XLA into the matmul epilogue.
+    """
+    w = params["embed_tokens"]
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {
+        **params,
+        "embed_tokens_q8": q,
+        "embed_tokens_scale": scale[:, 0].astype(jnp.float32),
+    }
+
+
 def output_layer(params: Params, cfg: ModelConfig, features: jnp.ndarray) -> jnp.ndarray:
     """Tied output projection; pads vocab ids masked to -inf."""
-    logits = features @ params["embed_tokens"].astype(features.dtype).T
+    if "embed_tokens_q8" in params:
+        w8 = params["embed_tokens_q8"]  # int8 HBM read; bf16 MXU compute
+        logits = features @ w8.astype(features.dtype).T
+        logits = logits * params["embed_tokens_scale"].astype(features.dtype)[
+            None, None, :
+        ]
+    else:
+        logits = features @ params["embed_tokens"].astype(features.dtype).T
     if cfg.padded_vocab_size > cfg.vocab_size:
         mask = jnp.arange(cfg.padded_vocab_size) >= cfg.vocab_size
         logits = jnp.where(mask[None, None, :], NEG_INF, logits)

@@ -16,8 +16,9 @@ import numpy as np
 
 from ..config import GenerationConfig
 from ..data.detection import DetectionBuilder
+from ..generation import beam_search
 from ..models import ofa
-from ..utils.eval_utils import debin_boxes
+from ..utils.eval_utils import debin_boxes, match_detections
 from .base import Task, iter_batches
 
 
@@ -65,12 +66,17 @@ class DetectionTask(Task):
         return out
 
     def evaluate(self, params, model_cfg, dataset, batch_size=4, limit=None):
-        """Teacher-forced loss as the validation signal (matching the
-        reference's detection valid path) + decoded box count sanity."""
+        """Teacher-forced loss (the reference's only detection valid signal)
+        plus generated-box precision/recall/F1 at IoU@0.5 with greedy
+        label-matched assignment — the reference never evaluates detection
+        (its dataset __getitem__ quirk, ref detection_dataset.py:418-420),
+        so this makes the fixed-quirk trainable task measurable."""
         from ..criterions import label_smoothed_ce
 
+        gen_cfg = self.generation_config()
         v = self.vocab
         total_loss, total_tok, n = 0.0, 0.0, 0
+        tp_sum, np_sum, ng_sum = 0, 0, 0
 
         @jax.jit
         def loss_fn(params, src, imgs, masks, prev, tgt):
@@ -81,18 +87,47 @@ class DetectionTask(Task):
             )
             return out.loss, out.ntokens
 
+        @jax.jit
+        def gen_fn(params, src, imgs, masks):
+            enc = ofa.encode(params, model_cfg, src, imgs, masks)
+            return beam_search(
+                params, model_cfg, gen_cfg, enc, max_len=gen_cfg.max_len_b
+            )
+
         for batch in iter_batches(
             dataset, self.builder("valid"), batch_size, v.pad, limit=limit, drop_last=True
         ):
+            src = jnp.asarray(batch["src_tokens"])
+            imgs = jnp.asarray(batch["patch_images"], jnp.float32)
+            masks = jnp.asarray(batch["patch_masks"])
             loss, ntok = loss_fn(
-                params,
-                jnp.asarray(batch["src_tokens"]),
-                jnp.asarray(batch["patch_images"], jnp.float32),
-                jnp.asarray(batch["patch_masks"]),
+                params, src, imgs, masks,
                 jnp.asarray(batch["prev_output_tokens"]),
                 jnp.asarray(batch["target"]),
             )
             total_loss += float(loss)
             total_tok += float(ntok)
             n += batch["nsentences"]
-        return {"loss": total_loss / max(1.0, total_tok), "n": n}
+
+            toks, _ = gen_fn(params, src, imgs, masks)
+            top = np.asarray(toks)[:, 0]  # top hypothesis per sample
+            for b, ex in enumerate(batch["extras"]):
+                groups = self.parse_boxes(
+                    top[b], float(ex["w_resize_ratio"]), float(ex["h_resize_ratio"])
+                )
+                pb = np.asarray([g[0] for g in groups], np.float64).reshape(-1, 4)
+                pl = [g[1].strip() for g in groups]
+                tp, npred, ngt = match_detections(
+                    pb, pl, ex["boxes"], [l.strip() for l in ex["labels"]]
+                )
+                tp_sum += tp
+                np_sum += npred
+                ng_sum += ngt
+
+        prec = tp_sum / max(1, np_sum)
+        rec = tp_sum / max(1, ng_sum)
+        f1 = 2 * prec * rec / max(1e-9, prec + rec)
+        return {
+            "loss": total_loss / max(1.0, total_tok),
+            "f1@0.5": f1, "precision": prec, "recall": rec, "n": n,
+        }

@@ -50,6 +50,50 @@ def box_iou_accuracy(hyps: np.ndarray, refs: np.ndarray, thresh: float = 0.5) ->
     return ((iou >= thresh) & (wh[:, 0] > 0) & (wh[:, 1] > 0)).astype(np.float32)
 
 
+def pairwise_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU matrix [Na, Nb] between xyxy box sets."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(a[:, 3] - a[:, 1], 0, None)
+    ab = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
+    return inter / (aa[:, None] + ab[None, :] - inter + 1e-6)
+
+
+def match_detections(
+    pred_boxes: np.ndarray,  # [Np, 4] xyxy
+    pred_labels: List[str],
+    gt_boxes: np.ndarray,  # [Ng, 4] xyxy
+    gt_labels: List[str],
+    thresh: float = 0.5,
+) -> Tuple[int, int, int]:
+    """Greedy IoU matching with label agreement → (tp, n_pred, n_gt).
+
+    The reference's detection task never evaluates (its dataset __getitem__
+    falls through without a return, ref detection_dataset.py:418-420); this
+    is the minimal honest metric for the fixed-quirk trainable task: each
+    prediction may claim at most one ground-truth box of the same label with
+    IoU ≥ thresh, matched greedily in decode order.
+    """
+    iou = pairwise_iou(np.asarray(pred_boxes, np.float64).reshape(-1, 4),
+                       np.asarray(gt_boxes, np.float64).reshape(-1, 4))
+    used = np.zeros(len(gt_labels), bool)
+    tp = 0
+    for i, pl in enumerate(pred_labels):
+        cand = [
+            j for j in range(len(gt_labels))
+            if not used[j] and gt_labels[j] == pl and iou[i, j] >= thresh
+        ]
+        if cand:
+            j = max(cand, key=lambda j: iou[i, j])
+            used[j] = True
+            tp += 1
+    return tp, len(pred_labels), len(gt_labels)
+
+
 # ---------------------------------------------------------------------------
 # allcand candidate scoring (ref: tasks/mm_tasks/vqa_gen.py:244-310,
 # snli_ve.py:165-228, image_classify.py:104-265)

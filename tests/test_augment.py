@@ -37,6 +37,90 @@ def test_random_crop_clips_boxes():
     assert (cb >= 0).all() and (cb <= 50).all()
 
 
+def test_resize_shortest_side_boxes():
+    from musketeer_tpu.data.augment import resize_shortest_side
+
+    img = Image.new("RGB", (200, 100))
+    boxes = np.asarray([[20.0, 10.0, 100.0, 50.0]])
+    out, rb = resize_shortest_side(img, boxes, 50)
+    assert out.size == (100, 50)  # shortest side → 50, aspect kept
+    np.testing.assert_allclose(rb, [[10.0, 5.0, 50.0, 25.0]])
+    # max_size caps each dim independently (ref transforms.py:95-118)
+    out2, _ = resize_shortest_side(img, boxes, 50, max_size=80)
+    assert out2.size == (80, 50)
+
+
+def test_object_center_crop_keeps_target():
+    from musketeer_tpu.data.augment import object_center_crop
+
+    img = Image.new("RGB", (200, 200))
+    # box in the corner: window shifts to stay inside the image
+    boxes = np.asarray([[170.0, 170.0, 190.0, 190.0]])
+    out, cb = object_center_crop(img, boxes, 100, 100)
+    assert out.size == (100, 100)
+    # box fully inside the window, area preserved
+    assert (cb >= 0).all() and (cb <= 100).all()
+    w = cb[0, 2] - cb[0, 0]
+    h = cb[0, 3] - cb[0, 1]
+    np.testing.assert_allclose([w, h], [20.0, 20.0])
+
+
+def test_detection_builder_train_flip_consistency():
+    """Flipped target bins must land on the flipped box (pixel-content and
+    box stay aligned through the train-time flip)."""
+    from musketeer_tpu.data import DetectionBuilder
+    from musketeer_tpu.tokenization import default_vocab
+    from musketeer_tpu.utils.eval_utils import debin_boxes
+    from tests.test_data import fake_image_b64
+
+    v = default_vocab()
+    row = ["1", fake_image_b64(64, 64), "4.0,8.0,20.0,28.0,1,dog"]
+    # find seeds on both sides of the flip coin
+    got = {}
+    for seed in range(12):
+        b = DetectionBuilder(
+            v, description="base", split="train", patch_image_size=64, seed=seed
+        )
+        flip = b.rng.rand() < 0.5  # consumes the same draw the builder will
+        b = DetectionBuilder(
+            v, description="base", split="train", patch_image_size=64, seed=seed
+        )
+        ex = b(row)
+        quad = [int(t) - v.bin_start for t in ex.target_ids[:4]]
+        box = debin_boxes(
+            np.asarray([[q + v.bin_start for q in quad]]), v.bin_start,
+            v.num_bins, 512,
+            np.asarray([ex.extras["w_resize_ratio"]]),
+            np.asarray([ex.extras["h_resize_ratio"]]),
+        )[0]
+        got[flip] = box
+        if len(got) == 2:
+            break
+    assert set(got) == {True, False}
+    np.testing.assert_allclose(got[False], [4, 8, 20, 28], atol=1.0)
+    np.testing.assert_allclose(got[True], [64 - 20, 8, 64 - 4, 28], atol=1.0)
+
+
+def test_visual_grounding_builder_train_transform():
+    """Train path: object-center crop keeps the box inside the patch and the
+    bins decode to a box of (approximately) preserved size."""
+    from musketeer_tpu.data import VisualGroundingBuilder
+    from musketeer_tpu.tokenization import default_vocab
+    from tests.test_data import fake_image_b64
+
+    v = default_vocab()
+    b = VisualGroundingBuilder(
+        v, description="base", split="train", patch_image_size=64, seed=3
+    )
+    ex = b(["1", fake_image_b64(128, 96), "a thing", "30.0,20.0,70.0,60.0"])
+    assert ex.patch_image.shape == (64, 64, 3)
+    quad = np.asarray([int(t) - v.bin_start for t in ex.target_ids[:4]])
+    assert ((0 <= quad) & (quad < v.num_bins)).all()
+    box = quad / (v.num_bins - 1) * 512  # crop-frame pixels
+    assert box[2] > box[0] and box[3] > box[1]
+    assert (box <= 64 + 1).all()  # inside the 64px crop window
+
+
 def test_large_scale_jitter():
     img = Image.new("RGB", (123, 77))
     boxes = np.asarray([[10.0, 10.0, 60.0, 40.0]])

@@ -329,6 +329,102 @@ def test_sharded_generation(tiny, cpu_devices):
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh), rtol=1e-4)
 
 
+def test_pipelined_generation(tiny, cpu_devices):
+    """Generation under a data=2 x pipe=2 mesh: decoder layer stacks (and
+    the layer-stacked KV cache) are sharded over pipeline stages; the
+    incremental-decode scan walks the stages via GSPMD collectives. Output
+    must match the unsharded beam token-for-token."""
+    from musketeer_tpu.config import MeshConfig
+    from musketeer_tpu.parallel import make_mesh, shard_params
+
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    gen_cfg = GenerationConfig(beam_size=3, max_len_b=5)
+
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    t_ref, s_ref = jax.jit(
+        lambda p, e: beam_search(p, cfg, gen_cfg, e, max_len=5)
+    )(params, enc)
+
+    mesh = make_mesh(
+        MeshConfig(data=2, fsdp=1, model=1, pipe=2), devices=jax.devices()[:4]
+    )
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, params)
+
+        @jax.jit
+        def gen(p):
+            e = ofa.encode(p, cfg, src, imgs, masks)
+            return beam_search(p, cfg, gen_cfg, e, max_len=5)
+
+        t_sh, s_sh = gen(sp)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_sh))
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh), rtol=1e-4)
+
+
+def test_pack_constraints_and_transition():
+    from musketeer_tpu.generation.lexical import (
+        constraint_transition, pack_constraints, stripe_rank,
+    )
+
+    cons, starts = pack_constraints([[[10, 11], [12]], [[20]]], pad=1)
+    np.testing.assert_array_equal(cons, [[10, 11, 12], [20, 1, 1]])
+    np.testing.assert_array_equal(starts, [[0, 0, 2], [0, 1, 1]])
+
+    cons_t, starts_t = jnp.asarray(cons), jnp.asarray(starts)
+    total = jnp.sum(cons_t != 1, axis=1)
+    # sentence 0: ptr=0, generate 10 → 1; ptr=1 mid-phrase, generate 99 → 0;
+    # ptr=1 generate 11 → 2; ptr=2 (boundary) generate 99 → stays 2;
+    # ptr=3 (finished) generate 12 → stays 3
+    ptr = jnp.asarray([[0, 1, 1, 2, 3]])
+    toks = jnp.asarray([[10, 99, 11, 99, 12]])
+    out = constraint_transition(
+        cons_t[:1], starts_t[:1], total[:1], ptr, toks
+    )
+    np.testing.assert_array_equal(np.asarray(out), [[1, 0, 2, 2, 3]])
+
+    # stripe ranks: banks [0,0,1], scores [-1,-2,-5] → ranks [0,1,0]
+    r = stripe_rank(
+        jnp.asarray([[0, 0, 1]]), jnp.asarray([[-1.0, -2.0, -5.0]])
+    )
+    np.testing.assert_array_equal(np.asarray(r), [[0.0, 1.0, 0.0]])
+
+
+def test_lexically_constrained_beam(tiny):
+    """Every emitted hypothesis must contain each constraint phrase, in
+    order; eos never fires before the constraints are met."""
+    from musketeer_tpu.generation.lexical import pack_constraints
+
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    phrases = [[[17, 23]], [[31], [44]]]
+    cons = pack_constraints(phrases, pad=cfg.pad)
+    gen_cfg = GenerationConfig(beam_size=4, max_len_b=8, min_len=1)
+    tokens, scores = beam_search(
+        params, cfg, gen_cfg, enc, max_len=8, constraints=cons
+    )
+
+    def contains_in_order(seq, phrase_list):
+        pos = 0
+        for phrase in phrase_list:
+            found = -1
+            for i in range(pos, len(seq) - len(phrase) + 1):
+                if list(seq[i : i + len(phrase)]) == list(phrase):
+                    found = i
+                    break
+            if found < 0:
+                return False
+            pos = found + len(phrase)
+        return True
+
+    for b in range(2):
+        seq = [int(t) for t in np.asarray(tokens[b, 0]) if t != cfg.pad]
+        assert scores[b, 0] > -1e8
+        assert seq[-1] == cfg.eos
+        assert contains_in_order(seq[:-1], phrases[b]), (b, seq)
+
+
 def test_sampling_requires_rng(tiny):
     cfg, params = tiny
     src, imgs, masks = make_batch(cfg)

@@ -112,6 +112,135 @@ def test_clip_matches_torch():
     np.testing.assert_allclose(te, te_ref, atol=1e-4)
 
 
+def test_clip_modified_resnet_matches_torch():
+    """RN-CLIP image tower vs a fresh torch statement of the published
+    ModifiedResNet (anti-aliased bottlenecks + attention pool)."""
+    torch.manual_seed(1)
+    width, layers, res, out_dim = 8, (1, 1, 2, 1), 64, 16
+    heads = width * 32 // 64
+
+    class Bottleneck(nn.Module):
+        def __init__(self, inplanes, planes, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.avgpool = nn.AvgPool2d(stride) if stride > 1 else nn.Identity()
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.downsample = None
+            if stride > 1 or inplanes != planes * 4:
+                self.downsample = nn.Sequential()
+                self.downsample.add_module("-1", nn.AvgPool2d(stride))
+                self.downsample.add_module(
+                    "0", nn.Conv2d(inplanes, planes * 4, 1, bias=False)
+                )
+                self.downsample.add_module("1", nn.BatchNorm2d(planes * 4))
+
+        def forward(self, x):
+            idn = x
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = torch.relu(self.bn2(self.conv2(out)))
+            out = self.avgpool(out)
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                idn = self.downsample(x)
+            return torch.relu(out + idn)
+
+    class AttnPool(nn.Module):
+        def __init__(self, spacial, dim, nheads, odim):
+            super().__init__()
+            self.positional_embedding = nn.Parameter(
+                torch.randn(spacial**2 + 1, dim) / dim**0.5
+            )
+            for n in ("q", "k", "v"):
+                setattr(self, f"{n}_proj", nn.Linear(dim, dim))
+            self.c_proj = nn.Linear(dim, odim)
+            self.num_heads = nheads
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = x.flatten(2).permute(2, 0, 1)
+            x = torch.cat([x.mean(0, keepdim=True), x], 0)
+            x = x + self.positional_embedding[:, None]
+            out, _ = F.multi_head_attention_forward(
+                query=x[:1], key=x, value=x,
+                embed_dim_to_check=x.shape[-1], num_heads=self.num_heads,
+                q_proj_weight=self.q_proj.weight,
+                k_proj_weight=self.k_proj.weight,
+                v_proj_weight=self.v_proj.weight,
+                in_proj_weight=None,
+                in_proj_bias=torch.cat(
+                    [self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]
+                ),
+                bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0,
+                out_proj_weight=self.c_proj.weight,
+                out_proj_bias=self.c_proj.bias,
+                use_separate_proj_weight=True, need_weights=False,
+            )
+            return out[0]
+
+    class Visual(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, width // 2, 3, 2, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width // 2)
+            self.conv2 = nn.Conv2d(width // 2, width // 2, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width // 2)
+            self.conv3 = nn.Conv2d(width // 2, width, 3, padding=1, bias=False)
+            self.bn3 = nn.BatchNorm2d(width)
+            self.avgpool = nn.AvgPool2d(2)
+            inp = width
+            for li, n in enumerate(layers, start=1):
+                planes = width * 2 ** (li - 1)
+                blocks = [Bottleneck(inp, planes, 2 if li > 1 else 1)]
+                inp = planes * 4
+                blocks += [Bottleneck(inp, planes) for _ in range(n - 1)]
+                setattr(self, f"layer{li}", nn.Sequential(*blocks))
+            self.attnpool = AttnPool(res // 32, width * 32, heads, out_dim)
+
+        def forward(self, x):
+            for c, b in ((self.conv1, self.bn1), (self.conv2, self.bn2),
+                         (self.conv3, self.bn3)):
+                x = torch.relu(b(c(x)))
+            x = self.avgpool(x)
+            for li in range(1, 5):
+                x = getattr(self, f"layer{li}")(x)
+            return self.attnpool(x)
+
+    class RNCLIP(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual = Visual()
+            self.token_embedding = nn.Embedding(50, 16)
+            self.positional_embedding = nn.Parameter(torch.randn(8, 16) * 0.02)
+            self.transformer = nn.Module()
+            self.transformer.resblocks = nn.ModuleList([_ClipBlock(16, 2)])
+            self.ln_final = nn.LayerNorm(16)
+            self.text_projection = nn.Parameter(torch.randn(16, out_dim) * 0.02)
+            self.logit_scale = nn.Parameter(torch.tensor(2.6593))
+
+    from musketeer_tpu.models.clip import convert_clip_state_dict, encode_image
+
+    m = RNCLIP()
+    # non-trivial BN running stats
+    with torch.no_grad():
+        m.visual.train()(torch.randn(4, 3, res, res))
+    m.eval()
+    params, cfg = convert_clip_state_dict(m.state_dict())
+    assert cfg.rn_layers == layers and cfg.vision_width == width
+    assert cfg.image_resolution == res
+    im = torch.randn(2, 3, res, res)
+    with torch.no_grad():
+        ref = m.visual(im).numpy()
+    got = np.asarray(
+        encode_image(params, cfg, jnp.asarray(im.numpy().transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def _gn(c):
     return nn.GroupNorm(32, c, eps=1e-6, affine=True)
 

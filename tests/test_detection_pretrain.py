@@ -41,6 +41,50 @@ def test_detection_parse_boxes():
     np.testing.assert_allclose(box, [5, 5, 30, 30], atol=1.0)
 
 
+def test_match_detections_greedy_label_iou():
+    from musketeer_tpu.utils.eval_utils import match_detections
+
+    gt = np.asarray([[0, 0, 10, 10], [20, 20, 40, 40]], np.float64)
+    gl = ["dog", "cat"]
+    # one exact hit, one label mismatch, one low-IoU same-label miss
+    pred = np.asarray(
+        [[0, 0, 10, 10], [20, 20, 40, 40], [100, 100, 110, 110]], np.float64
+    )
+    pl = ["dog", "dog", "cat"]
+    tp, npred, ngt = match_detections(pred, pl, gt, gl)
+    assert (tp, npred, ngt) == (1, 3, 2)
+    # each gt claimable at most once
+    tp2, _, _ = match_detections(
+        np.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], np.float64),
+        ["dog", "dog"], gt, gl,
+    )
+    assert tp2 == 1
+    # empty prediction set
+    tp3, np3, ng3 = match_detections(
+        np.zeros((0, 4)), [], gt, gl
+    )
+    assert (tp3, np3, ng3) == (0, 0, 2)
+
+
+def test_detection_evaluate_end_to_end():
+    """Tiny model: evaluate returns loss + f1 metrics over a 2-row set."""
+    from musketeer_tpu.models import ofa
+    from tests.test_model import tiny_cfg
+
+    v = default_vocab()
+    cfg = tiny_cfg(vocab_size=59457, padded_vocab_size=59520)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    task = DetectionTask(v, description="base", patch_image_size=32)
+    rows = [
+        ["1", fake_image_b64(64, 64), "5.0,5.0,30.0,30.0,1,dog"],
+        ["2", fake_image_b64(64, 64), "10.0,10.0,50.0,50.0,2,cat"],
+    ]
+    out = task.evaluate(params, cfg, rows, batch_size=2)
+    assert np.isfinite(out["loss"]) and out["n"] == 2
+    assert 0.0 <= out["f1@0.5"] <= 1.0
+    assert 0.0 <= out["precision"] <= 1.0 and 0.0 <= out["recall"] <= 1.0
+
+
 def test_text_infilling_builder():
     v = default_vocab()
     b = TextInfillingBuilder(v, description="base", mask_ratio=0.4, seed=3)

@@ -194,6 +194,29 @@ def test_vocab_padding_masked(tiny):
     assert np.asarray(logits[..., cfg.vocab_size :]).max() <= ofa.NEG_INF
 
 
+def test_int8_output_proj_close(tiny):
+    """Quantized serving projection: logits close to fp, pads stay -inf,
+    and the top-1 token agrees on a realistic feature scale."""
+    cfg, params = tiny
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 3, cfg.embed_dim).astype(np.float32))
+    base = np.asarray(ofa.output_layer(params, cfg, feats))
+    q = ofa.quantize_output_proj(params)
+    assert q["embed_tokens_q8"].dtype == jnp.int8
+    quant = np.asarray(ofa.output_layer(q, cfg, feats))
+    V = cfg.vocab_size
+    # |err| <= ||f||_1 * row_scale / 2
+    scale = np.asarray(q["embed_tokens_scale"])[:V].max()
+    bound = np.abs(np.asarray(feats)).sum(-1).max() * scale / 2 + 1e-6
+    assert np.abs(quant[..., :V] - base[..., :V]).max() <= bound
+    assert quant[..., V:].max() <= ofa.NEG_INF
+    # quantized argmax is near-optimal under the fp logits (exact argmax
+    # equality can flip on sub-bound gaps)
+    qa = quant[..., :V].argmax(-1)
+    picked = np.take_along_axis(base[..., :V], qa[..., None], -1)[..., 0]
+    assert (base[..., :V].max(-1) - picked).max() <= 2 * bound
+
+
 def test_jit_forward(tiny):
     cfg, params = tiny
     src, imgs, masks = make_batch(cfg)
