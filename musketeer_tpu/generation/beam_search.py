@@ -301,9 +301,31 @@ def beam_search(
         trie_nodes_flat = _flat(s.trie_nodes) if trie is not None else None
         c_logits = _constrain_logits_pre(logits, gen_cfg, trie, trie_nodes_flat)
         logits = jnp.where(trie_active, c_logits, logits) if prefix_len else c_logits
-        lprobs = jax.nn.log_softmax(logits, axis=-1)
+        if gen_cfg.sampling:
+            # sampling needs true per-token lprobs (categorical + tok_lp)
+            lprobs = jax.nn.log_softmax(logits, axis=-1)
+            at_max_eos = jnp.float32(0.0)
+        else:
+            # Fused candidate computation: the beam competition only ever
+            # consumes cand = lprob + cum = logits - logsumexp + alive, so
+            # compute THAT directly — the separate log_softmax output and
+            # the later "+ alive_scores" pass never materialize their own
+            # [B*K, V] buffers (the decode loop's beam-logic phase is bound
+            # by these full-vocab passes, BENCH_r02 probe).
+            Z = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+            alive_flat = _flat(s.alive_scores)[:, None]  # [B*K, 1]
+            lprobs = logits - Z + alive_flat
+            at_max_eos = alive_flat
         c_lprobs = _constrain_lprobs_post(lprobs, gen_cfg, trie, trie_nodes_flat)
         lprobs = jnp.where(trie_active, c_lprobs, lprobs) if prefix_len else c_lprobs
+
+        # All full-vocab conditioning below is written as fused iota-mask
+        # arithmetic, NEVER scatter-style .at[...] column ops: each scatter
+        # on the [B*K, V] buffer materializes a full copy and breaks XLA's
+        # elementwise fusion — the beam-logic phase was profiled at
+        # 2.7ms/step with scatters vs ~1ms fused (BENCH_r02 probe).
+        iota_v = jnp.arange(Vp)
+        eos_col = (iota_v == eos)[None, :]
 
         # prefix forcing (ref: _prefix_tokens :600-631)
         if prefix_tokens is not None:
@@ -312,8 +334,9 @@ def beam_search(
             pt = ptok[:, jnp.minimum(step, prefix_len - 1)]  # [B*K]
             force = jnp.logical_and(in_prefix, pt != pad)
             forced_lp = jnp.take_along_axis(lprobs, pt[:, None], axis=1)
-            base = jnp.full_like(lprobs, NEG_INF)
-            forced = base.at[jnp.arange(B * K), pt].set(forced_lp[:, 0])
+            forced = jnp.where(
+                iota_v[None, :] == pt[:, None], forced_lp, NEG_INF
+            )
             lprobs = jnp.where(force[:, None], forced, lprobs)
             min_thr = row_min if row_min is not None else gen_cfg.min_len
             min_len_active = jnp.logical_and(
@@ -323,14 +346,17 @@ def beam_search(
             min_thr = row_min if row_min is not None else gen_cfg.min_len
             min_len_active = step < min_thr
         # min length: no eos yet (ref :383-385)
-        lprobs = lprobs.at[:, eos].add(
-            jnp.where(min_len_active, NEG_INF, 0.0)
+        min_rows = jnp.broadcast_to(min_len_active, (B * K,))
+        lprobs = lprobs + jnp.where(
+            jnp.logical_and(min_rows[:, None], eos_col), NEG_INF, 0.0
         )
 
         lprobs = jnp.where(jnp.isnan(lprobs), NEG_INF, lprobs)
-        lprobs = lprobs.at[:, pad].set(NEG_INF)  # never pad (ref :388)
+        lprobs = jnp.where((iota_v == pad)[None, :], NEG_INF, lprobs)  # (ref :388)
         if gen_cfg.unk_penalty:
-            lprobs = lprobs.at[:, unk].add(-gen_cfg.unk_penalty)
+            lprobs = lprobs - jnp.where(
+                (iota_v == unk)[None, :], gen_cfg.unk_penalty, 0.0
+            )
 
         if gen_cfg.gen_code or gen_cfg.gen_box:
             # ban specials while generating (ref :389-390)
@@ -341,13 +367,13 @@ def beam_search(
             )
         if gen_cfg.gen_box:
             # 4 bins then eos, repeating (ref :391-397)
-            lprobs = lprobs.at[:, Vp - 1].set(NEG_INF)
+            lprobs = jnp.where((iota_v == Vp - 1)[None, :], NEG_INF, lprobs)
             cs = (
                 gen_cfg.constraint_range[0]
                 if gen_cfg.constraint_range
                 else cfg.vocab_size - cfg.num_bins
             )
-            band = jnp.arange(Vp)[None, :]
+            band = iota_v[None, :]
             eos_step = (step + 1) % 5 == 0
             ban_bins = (band >= cs) & (band < cfg.vocab_size)
             ban_nonbins = band >= cfg.vocab_size
@@ -359,8 +385,13 @@ def beam_search(
         at_max = jnp.broadcast_to(step >= max_len, (B * K,))
         if row_max is not None:
             at_max = jnp.logical_or(at_max, step >= row_max)
-        only_eos = jnp.full_like(lprobs, NEG_INF).at[:, eos].set(0.0)
-        lprobs = jnp.where(at_max[:, None], only_eos, lprobs)
+        # in candidate domain (non-sampling) the forced-eos value is the
+        # hypothesis's cumulative score, i.e. lprob(eos) := 0
+        lprobs = jnp.where(
+            at_max[:, None],
+            jnp.where(eos_col, at_max_eos, NEG_INF),
+            lprobs,
+        )
 
         # lexical constraints: eos blocked until all constraints are met
         # (ref: search.py:309-323 "Prevent EOS for unfinished hyps"). Applied
@@ -370,8 +401,10 @@ def beam_search(
         # or the un-eos'd alive fallback.
         if constraints is not None:
             cons_unfinished = s.cons_ptr < cons_total[:, None]  # [B, K]
-            lprobs = lprobs.at[:, eos].add(
-                jnp.where(_flat(cons_unfinished), NEG_INF, 0.0)
+            lprobs = lprobs + jnp.where(
+                jnp.logical_and(_flat(cons_unfinished)[:, None], eos_col),
+                NEG_INF,
+                0.0,
             )
 
         if gen_cfg.no_repeat_ngram_size > 0:
@@ -392,16 +425,14 @@ def beam_search(
             # candidates = global top-2K ∪ each beam's forced next-constraint
             # token; banks (= constraint tokens consumed) share the beam via
             # stripe ranks instead of pure score order.
-            lp3 = _unflat(lprobs, B, K)
-            cand = lp3 + s.alive_scores[:, :, None]
+            cand = _unflat(lprobs, B, K)  # candidate domain: lprob + cum
             sc2k, idx2k = jax.lax.top_k(cand.reshape(B, K * Vp), 2 * K)
             ptr_clamped = jnp.minimum(s.cons_ptr, Cc - 1)
             next_tok = jnp.take_along_axis(cons_t, ptr_clamped, axis=1)  # [B,K]
             unf = s.cons_ptr < cons_total[:, None]
-            forced_sc = (
-                jnp.take_along_axis(lp3, next_tok[:, :, None], axis=2)[..., 0]
-                + s.alive_scores
-            )
+            forced_sc = jnp.take_along_axis(
+                cand, next_tok[:, :, None], axis=2
+            )[..., 0]
             forced_sc = jnp.where(unf, forced_sc, NEG_INF)
             topk_scores = jnp.concatenate([sc2k, forced_sc], axis=1)  # [B,3K]
             topk_beams = jnp.concatenate(
@@ -429,12 +460,14 @@ def beam_search(
             # g::G; candidate axis is group-blocked [2Kg | 2Kg | ...].
             assert K % G == 0, f"beam {K} not divisible by groups {G}"
             Kg = K // G
-            lp3 = _unflat(lprobs, B, K)
+            lp3 = _unflat(lprobs, B, K)  # candidate domain: lprob + cum
             counts = jnp.zeros((B, Vp), jnp.float32)
             sc_l, bm_l, tk_l = [], [], []
             for g in range(G):
-                lp_g = lp3[:, g::G] - gen_cfg.diversity_strength * counts[:, None, :]
-                cand_g = lp_g + s.alive_scores[:, g::G, None]  # [B,Kg,V]
+                cand_g = (
+                    lp3[:, g::G]
+                    - gen_cfg.diversity_strength * counts[:, None, :]
+                )  # [B,Kg,V]
                 sc_g, idx_g = jax.lax.top_k(cand_g.reshape(B, Kg * Vp), 2 * Kg)
                 tk_g = idx_g % Vp
                 sc_l.append(sc_g)
@@ -448,12 +481,12 @@ def beam_search(
             # sibling-rank penalty (ref: models/search.py:745-814): each
             # beam's k-th best token is penalized k*rate before the global
             # candidate competition; penalized scores are kept (ref :order).
-            lp3 = _unflat(lprobs, B, K)  # [B, K, V]
+            lp3 = _unflat(lprobs, B, K)  # candidate domain: lprob + cum
             v_sc, v_ix = jax.lax.top_k(lp3, 2 * K)  # per-beam top-2K tokens
             penalty = gen_cfg.diversity_rate * jnp.arange(
                 1, 2 * K + 1, dtype=jnp.float32
             )
-            cand = v_sc - penalty[None, None, :] + s.alive_scores[:, :, None]
+            cand = v_sc - penalty[None, None, :]
             flat_cand = cand.reshape(B, K * 2 * K)
             topk_scores, flat_ix = jax.lax.top_k(flat_cand, 2 * K)
             topk_beams = flat_ix // (2 * K)
@@ -461,7 +494,7 @@ def beam_search(
                 v_ix.reshape(B, K * 2 * K), flat_ix, axis=1
             )
         else:
-            cand_scores = _unflat(lprobs, B, K) + s.alive_scores[:, :, None]
+            cand_scores = _unflat(lprobs, B, K)  # candidate domain: lprob + cum
             flat_cand = cand_scores.reshape(B, K * Vp)
             topk_scores, topk_idx = jax.lax.top_k(flat_cand, 2 * K)
             topk_beams = topk_idx // Vp  # [B, 2K]

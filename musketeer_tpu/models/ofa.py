@@ -1370,6 +1370,9 @@ def decode_step(
             state.cache["self_k"], state.cache["self_v"],
             state.cache["cross_k"], state.cache["cross_v"],
         ),
+        # unrolling lets XLA overlap each layer's HBM weight fetch with the
+        # previous layer's compute — the decode step is weight-read bound
+        unroll=4,
     )
 
     x = _layer_norm(dec["layer_norm"], x)

@@ -113,13 +113,24 @@ def pipeline_scan(
         # the last stage's outputs to every stage
         return jax.tree.map(lambda a: jax.lax.psum(a, axis_name), outputs)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
 
-    fn = shard_map(
-        stage_fn,
-        mesh=mesh,
-        in_specs=(P(axis_name), P(), P()),
-        out_specs=P(),
-        check_rep=False,
-    )
+        fn = shard_map(
+            stage_fn,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(
+            stage_fn,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
     return fn(layer_xs, payload_mb, consts)
