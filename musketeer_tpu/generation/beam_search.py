@@ -25,7 +25,7 @@ forcing :600-631, min/max length, unk penalty, n-gram repeat blocking
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,7 @@ def beam_search(
     rng: Optional[jax.Array] = None,  # required when gen_cfg.sampling
     src_lengths: Optional[jnp.ndarray] = None,  # [B] → per-sentence min/max
     constraints: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    allowed_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run constrained beam search. Returns (tokens [B,K,max_len+2], scores [B,K]).
 
@@ -154,6 +155,16 @@ def beam_search(
     :func:`musketeer_tpu.generation.lexical.pack_constraints` — enables the
     lexically constrained mode (ref: models/search.py:210-524, Post & Vilar
     dynamic beam allocation), incompatible with sampling/diverse modes.
+
+    ``allowed_fn``: traceable ``(step, tokens_flat [B*K, T]) -> bool mask
+    [B*K, V]`` — the jit-native equivalent of the reference's
+    PrefixConstrainedBeamSearch ``prefix_allowed_tokens_fn`` callback
+    (ref: models/search.py:147-180, tasks/ofa_task.py:276-283): the mask is
+    applied to the post-softmax lprobs without renormalizing, exactly like
+    the reference's additive 0/-inf mask. Instead of a per-sentence Python
+    callback the hook sees the whole flat beam batch and the current step,
+    so any vectorizable constraint (grammar tables, per-sample vocab
+    restrictions) stays on device.
     """
     B = encoder_out.x.shape[0]
     K = gen_cfg.beam_size
@@ -318,6 +329,15 @@ def beam_search(
             at_max_eos = alive_flat
         c_lprobs = _constrain_lprobs_post(lprobs, gen_cfg, trie, trie_nodes_flat)
         lprobs = jnp.where(trie_active, c_lprobs, lprobs) if prefix_len else c_lprobs
+
+        if allowed_fn is not None:
+            # PrefixConstrainedBeamSearch hook (ref: search.py:159-180) —
+            # additive 0/-inf mask on lprobs, no renormalization. Safe in
+            # the fused candidate domain (pure where→NEG_INF).
+            am = allowed_fn(step, _flat(s.alive_tokens))
+            if am.shape[-1] < Vp:  # user mask over the unpadded vocab
+                am = jnp.pad(am, ((0, 0), (0, Vp - am.shape[-1])))
+            lprobs = jnp.where(am, lprobs, NEG_INF)
 
         # All full-vocab conditioning below is written as fused iota-mask
         # arithmetic, NEVER scatter-style .at[...] column ops: each scatter
@@ -612,6 +632,7 @@ def generate(
     prefix_tokens: Optional[jnp.ndarray] = None,
     trie: Optional[DenseTrie] = None,
     constraints: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    allowed_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """encode + beam_search, jit-friendly end to end.
 
@@ -636,4 +657,5 @@ def generate(
         code_masks_value=gen_cfg.gen_code,
         src_lengths=src_lengths,
         constraints=constraints,
+        allowed_fn=allowed_fn,
     )

@@ -432,3 +432,34 @@ def test_sampling_requires_rng(tiny):
     gen_cfg = GenerationConfig(beam_size=2, max_len_b=4, sampling=True)
     with pytest.raises(AssertionError):
         beam_search(params, cfg, gen_cfg, enc, max_len=4)
+
+
+def test_prefix_allowed_fn(tiny):
+    """allowed_fn hook = the reference's PrefixConstrainedBeamSearch
+    (models/search.py:147-180): a traceable mask over the next-token vocab,
+    here history-dependent (next ∈ {prev+1, eos}) so hypos must be strictly
+    consecutive runs."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    Vp = cfg.padded_vocab_size
+
+    def allowed_fn(step, tokens_flat):
+        prev = jnp.take_along_axis(tokens_flat, step[None].repeat(tokens_flat.shape[0])[:, None], axis=1)[:, 0]
+        start = jnp.where(step == 0, 20, prev + 1)  # runs start at 20
+        iota = jnp.arange(Vp)[None, :]
+        ok = iota == start[:, None]
+        ok = ok | ((iota == cfg.eos) & (step >= 2))
+        return ok
+
+    gen_cfg = GenerationConfig(beam_size=2, max_len_b=6, min_len=1)
+    tokens, scores = beam_search(
+        params, cfg, gen_cfg, enc, max_len=6, allowed_fn=allowed_fn
+    )
+    for b in range(2):
+        assert scores[b, 0] > -1e8
+        seq = [int(t) for t in np.asarray(tokens[b, 0]) if t != cfg.pad]
+        assert seq[-1] == cfg.eos
+        body = seq[:-1]
+        assert body[0] == 20
+        assert body == list(range(20, 20 + len(body))), (b, seq)
