@@ -557,7 +557,31 @@ def encode(
             )
             image_pos_ids = jnp.take_along_axis(image_pos_ids, sample_patch_order, axis=1)
         N = image_embed.shape[1]
-        image_pos_embed = enc["embed_image_positions"][image_pos_ids]
+        orig_hw = cfg.orig_patch_image_size // 16
+        if cfg.interpolate_position and h * w > orig_hw * orig_hw:
+            # Bilinearly resample the trained pos-embed grid to the larger
+            # feature map instead of indexing unseen 2D buckets (ref:
+            # unify_transformer.py:685-693; rel-bias buckets stay id-based,
+            # matching the reference). half-pixel-centres resize == torch
+            # F.interpolate(align_corners=False).
+            old_ids = jnp.asarray(
+                pos_lib.encoder_image_position_ids(
+                    orig_hw, orig_hw, cfg.image_bucket_size
+                )
+            ).reshape(orig_hw, orig_hw)
+            old = enc["embed_image_positions"][old_ids]  # [hw, hw, D]
+            interp = jax.image.resize(
+                old, (h, w, old.shape[-1]), method="bilinear"
+            ).reshape(h * w, -1)
+            image_pos_embed = jnp.broadcast_to(
+                interp[None], (B, h * w, interp.shape[-1])
+            )
+            if sample_patch_order is not None:
+                image_pos_embed = jnp.take_along_axis(
+                    image_pos_embed, sample_patch_order[:, :, None], axis=1
+                )
+        else:
+            image_pos_embed = enc["embed_image_positions"][image_pos_ids]
 
         x_img = _linear(enc["image_proj"], image_embed)
         x_img = x_img + enc["type_embedding"].astype(dtype)[1]

@@ -36,31 +36,41 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
-                o_ref, lse_ref, *, causal, block_q):
+                o_ref, lse_ref, *, causal, block_q, block_b):
+    # Batch-chunked grid cell: refs carry ``block_b`` batch rows so the
+    # [block_q, S] rel block — identical for every batch element — is
+    # fetched once per chunk instead of once per element. rel streaming was
+    # the kernel's dominant HBM term at B16/S910 (B× re-read of the full
+    # [H, S, S] tensor per layer); chunking divides it by block_b.
     qi = pl.program_id(2)
-    w = jax.lax.dot_general(
-        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    w += jax.lax.dot_general(
-        pq_ref[...], pk_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    w += rel_ref[...].astype(jnp.float32)
+    rel = rel_ref[...].astype(jnp.float32)
     if causal:
-        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-        w = jnp.where(kpos > qpos, NEG_INF, w)
-    pad = kpad_ref[pl.program_id(0), :] != 0
-    w = jnp.where(pad[None, :], NEG_INF, w)
-    m = jnp.max(w, axis=-1, keepdims=True)
-    e = jnp.exp(w - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    lse_ref[...] = (m + jnp.log(denom)).astype(jnp.float32)
-    p = (e / denom).astype(v_ref.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        p, v_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, rel.shape, 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, rel.shape, 1)
+        rel = jnp.where(kpos > qpos, NEG_INF, rel)
+    for c in range(block_b):
+        w = jax.lax.dot_general(
+            q_ref[c], k_ref[c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w += jax.lax.dot_general(
+            pq_ref[c], pk_ref[c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w += rel
+        # kpad rides as the full [B, S] array (a [block_b, S] block would
+        # break Mosaic's sublane-multiple-of-8 rule); row-index it here
+        pad = kpad_ref[pl.program_id(0) * block_b + c, :] != 0
+        w = jnp.where(pad[None, :], NEG_INF, w)
+        m = jnp.max(w, axis=-1, keepdims=True)
+        e = jnp.exp(w - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        lse_ref[c] = (m + jnp.log(denom)).astype(jnp.float32)
+        p = (e / denom).astype(v_ref.dtype)
+        o_ref[c] = jax.lax.dot_general(
+            p, v_ref[c], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
 def _bwd_kernel_a(
@@ -183,37 +193,46 @@ def _pad_all(q, k, v, pq, pk, rel, kpad, block_q):
     return q, k, v, pq, pk, rel, kpad, Tp, Sp, Dp
 
 
-def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret):
+def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4):
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, T, D = q.shape
     S = k.shape[2]
     q2, k2, v2, pq2, pk2, rel2, kpad2, Tp, Sp, Dp = _pad_all(
         q, k, v, pq, pk, rel, kpad, block_q
     )
-    grid = (B, H, Tp // block_q)
+    BC = max(1, min(block_b, B))
+    Bp = _round_up(B, BC)
+    if Bp != B:
+        bs = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
+        q2, pq2 = jnp.pad(q2, bs), jnp.pad(pq2, bs)
+        k2, v2, pk2 = jnp.pad(k2, bs), jnp.pad(v2, bs), jnp.pad(pk2, bs)
+        kpad2 = jnp.pad(kpad2, ((0, Bp - B), (0, 0)), constant_values=True)
+    grid = (Bp // BC, H, Tp // block_q)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, causal=causal, block_q=block_q),
+        functools.partial(
+            _fwd_kernel, causal=causal, block_q=block_q, block_b=BC
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
-            pl.BlockSpec((B, Sp), lambda b, h, i: (0, 0)),
+            pl.BlockSpec((Bp, Sp), lambda b, h, i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Tp, Dp), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H, Tp, Dp), q.dtype),
+            jax.ShapeDtypeStruct((Bp, H, Tp, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q2, k2, v2, pq2, pk2, rel2, kpad2.astype(jnp.int32))
-    return o[:, :, :T, :D], lse[:, :, :T, 0]
+    return o[:B, :, :T, :D], lse[:B, :, :T, 0]
 
 
 def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,

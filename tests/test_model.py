@@ -274,3 +274,39 @@ def test_prefix_prompts():
         np.asarray(l1[:, :4], np.float32), np.asarray(l3[:, :4], np.float32),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_interpolate_position_matches_torch():
+    """jax.image.resize('bilinear') == torch F.interpolate(bilinear,
+    align_corners=False) — the exact op the reference applies to the image
+    pos-embed grid (ref: unify_transformer.py:685-693)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    old = rng.randn(4, 4, 8).astype(np.float32)
+    want = (
+        F.interpolate(
+            torch.from_numpy(old).permute(2, 0, 1)[None],
+            size=(6, 6),
+            mode="bilinear",
+        )[0]
+        .permute(1, 2, 0)
+        .numpy()
+    )
+    got = np.asarray(jax.image.resize(jnp.asarray(old), (6, 6, 8), "bilinear"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_encode_interpolate_position():
+    """interpolate_position=True resamples the trained pos grid for larger
+    feature maps; output differs from bucket lookup but stays finite and
+    batch-consistent."""
+    cfg = tiny_cfg(interpolate_position=True, orig_patch_image_size=32)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    src, imgs, masks = make_batch(cfg, img=64)  # 4x4 patches > 2x2 original
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    assert np.isfinite(np.asarray(enc.x)).all()
+    cfg0 = tiny_cfg(interpolate_position=False, orig_patch_image_size=32)
+    enc0 = ofa.encode(params, cfg0, src, imgs, masks)
+    assert not np.allclose(np.asarray(enc.x), np.asarray(enc0.x))
