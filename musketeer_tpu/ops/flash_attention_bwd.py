@@ -35,13 +35,17 @@ def _round_up(x, m):
 # forward kernel that also writes log-sum-exp
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
+def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
                 o_ref, lse_ref, *, causal, block_q, block_b):
-    # Batch-chunked grid cell: refs carry ``block_b`` batch rows so the
-    # [block_q, S] rel block — identical for every batch element — is
-    # fetched once per chunk instead of once per element. rel streaming was
-    # the kernel's dominant HBM term at B16/S910 (B× re-read of the full
-    # [H, S, S] tensor per layer); chunking divides it by block_b.
+    # Two fusions over the naive layout:
+    # - batch-chunked grid cell: refs carry ``block_b`` batch rows so the
+    #   [block_q, S] rel block — identical for every batch element — is
+    #   fetched once per chunk instead of once per element,
+    # - content and positional projections ride PACKED along the head dim
+    #   (qc = [q | pos_q], kc = [k | pos_k]): one dot computes
+    #   q·kᵀ + pos_q·pos_kᵀ exactly. With hd=64 padded to the 128-lane
+    #   tile anyway, this halves the QK MXU work and drops two of the
+    #   seven input streams for free.
     qi = pl.program_id(2)
     rel = rel_ref[...].astype(jnp.float32)
     if causal:
@@ -50,11 +54,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
         rel = jnp.where(kpos > qpos, NEG_INF, rel)
     for c in range(block_b):
         w = jax.lax.dot_general(
-            q_ref[c], k_ref[c], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        w += jax.lax.dot_general(
-            pq_ref[c], pk_ref[c], (((1,), (1,)), ((), ())),
+            qc_ref[c], kc_ref[c], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         w += rel
@@ -66,11 +66,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
         e = jnp.exp(w - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
         lse_ref[c] = (m + jnp.log(denom)).astype(jnp.float32)
-        p = (e / denom).astype(v_ref.dtype)
-        o_ref[c] = jax.lax.dot_general(
-            p, v_ref[c], (((1,), (0,)), ((), ())),
+        # normalize AFTER the AV dot: the division runs over [bq, D]
+        # instead of [bq, S] — one fewer full-width VPU pass (the kernel
+        # is VPU-bound; the MXU dots are <40% of its wall time)
+        acc = jax.lax.dot_general(
+            e.astype(v_ref.dtype), v_ref[c], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        o_ref[c] = (acc / denom).astype(o_ref.dtype)
 
 
 def _bwd_kernel_a(
@@ -202,10 +205,19 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4):
     )
     BC = max(1, min(block_b, B))
     Bp = _round_up(B, BC)
+    # pack content|positional along the head dim (see kernel comment); with
+    # D=64 the packed width is exactly the 128-lane tile the padded layout
+    # wasted on zeros
+    qc = jnp.concatenate([q2[..., :D], pq2[..., :D]], axis=-1)
+    kc = jnp.concatenate([k2[..., :D], pk2[..., :D]], axis=-1)
+    Dc = _round_up(2 * D, 128)
+    if Dc != 2 * D:
+        cs = ((0, 0), (0, 0), (0, 0), (0, Dc - 2 * D))
+        qc, kc = jnp.pad(qc, cs), jnp.pad(kc, cs)
     if Bp != B:
         bs = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
-        q2, pq2 = jnp.pad(q2, bs), jnp.pad(pq2, bs)
-        k2, v2, pk2 = jnp.pad(k2, bs), jnp.pad(v2, bs), jnp.pad(pk2, bs)
+        qc, kc = jnp.pad(qc, bs), jnp.pad(kc, bs)
+        v2 = jnp.pad(v2, bs)
         kpad2 = jnp.pad(kpad2, ((0, Bp - B), (0, 0)), constant_values=True)
     grid = (Bp // BC, H, Tp // block_q)
     o, lse = pl.pallas_call(
@@ -214,10 +226,8 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((BC, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
             pl.BlockSpec((Bp, Sp), lambda b, h, i: (0, 0)),
@@ -231,7 +241,7 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4):
             jax.ShapeDtypeStruct((Bp, H, Tp, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q2, k2, v2, pq2, pk2, rel2, kpad2.astype(jnp.int32))
+    )(qc, kc, v2, rel2, kpad2.astype(jnp.int32))
     return o[:B, :, :T, :D], lse[:B, :, :T, 0]
 
 
