@@ -77,19 +77,20 @@ def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
 
 
 def _bwd_kernel_a(
-    q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
+    qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
     do_ref, lse_ref, dsum_ref,
-    dq_ref, dpq_ref, dk_ref, dv_ref, dpk_ref,
+    dqc_ref, dkc_ref, dv_ref,
     *, causal, block_q,
 ):
+    # Packed layout mirrors the forward kernel: qc = [q | pos_q],
+    # kc = [k | pos_k] along the head dim, so the w recompute is one dot
+    # and the paired gradients come out packed for free:
+    #   dW·kc  = [dq  | dpos_q]      dWᵀ·qc = [dk | dpos_k]
     qi = pl.program_id(2)
-    q = q_ref[...]
-    pq = pq_ref[...]
+    qc = qc_ref[...]
     w = jax.lax.dot_general(
-        q, k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    w += jax.lax.dot_general(
-        pq, pk_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qc, kc_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     w += rel_ref[...].astype(jnp.float32)
     if causal:
@@ -107,51 +108,37 @@ def _bwd_kernel_a(
     )
     dw = p * (dp - dsum_ref[...])  # [BQ, S]
 
-    dq_ref[...] = jax.lax.dot_general(
-        dw, k_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+    dqc_ref[...] = jax.lax.dot_general(
+        dw, kc_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dq_ref.dtype)
-    dpq_ref[...] = jax.lax.dot_general(
-        dw, pk_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dpq_ref.dtype)
+    ).astype(dqc_ref.dtype)
 
-    dk_t = jax.lax.dot_general(
-        dw, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+    dkc_t = jax.lax.dot_general(
+        dw, qc.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [S, D]
+    )  # [S, Dc]
     dv_t = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dpk_t = jax.lax.dot_general(
-        dw, pq.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
     )
 
     @pl.when(qi == 0)
     def _():
-        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dkc_ref[...] = jnp.zeros_like(dkc_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
-        dpk_ref[...] = jnp.zeros_like(dpk_ref)
 
-    dk_ref[...] += dk_t.astype(dk_ref.dtype)
+    dkc_ref[...] += dkc_t.astype(dkc_ref.dtype)
     dv_ref[...] += dv_t.astype(dv_ref.dtype)
-    dpk_ref[...] += dpk_t.astype(dpk_ref.dtype)
 
 
 def _bwd_kernel_b(
-    q_ref, k_ref, v_ref, pq_ref, pk_ref, rel_ref, kpad_ref,
+    qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
     do_ref, lse_ref, dsum_ref, drel_ref, *, causal, block_q,
 ):
     # grid (H, nQ, B): accumulate drel over innermost b
     qi = pl.program_id(1)
     b = pl.program_id(2)
     w = jax.lax.dot_general(
-        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    w += jax.lax.dot_general(
-        pq_ref[...], pk_ref[...], (((1,), (1,)), ((), ())),
+        qc_ref[...], kc_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     w += rel_ref[...].astype(jnp.float32)
@@ -262,12 +249,17 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     kpad_i = kpad2.astype(jnp.int32)
 
     nq = Tp // block_q
-    common_in = [q2, k2, v2, pq2, pk2, rel2, kpad_i, do2, lse2, dsum2]
+    # packed operands (see _bwd_kernel_a): qc = [q | pos_q], kc = [k | pos_k]
+    qc2 = jnp.concatenate([q2[..., :D], pq2[..., :D]], axis=-1)
+    kc2 = jnp.concatenate([k2[..., :D], pk2[..., :D]], axis=-1)
+    Dc = _round_up(2 * D, 128)
+    if Dc != 2 * D:
+        cs = ((0, 0), (0, 0), (0, 0), (0, Dc - 2 * D))
+        qc2, kc2 = jnp.pad(qc2, cs), jnp.pad(kc2, cs)
+    common_in = [qc2, kc2, v2, rel2, kpad_i, do2, lse2, dsum2]
     specs_a = [
-        pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((None, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((None, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
         pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
         pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
         pl.BlockSpec((B, Sp), lambda b, h, i: (0, 0)),
@@ -275,32 +267,26 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
         pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
     ]
-    dq, dpq, dk, dv, dpk = pl.pallas_call(
+    dqc, dkc, dv = pl.pallas_call(
         functools.partial(_bwd_kernel_a, causal=causal, block_q=block_q),
         grid=(B, H, nq),
         in_specs=specs_a,
         out_specs=[
-            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Tp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Tp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Sp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Sp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Tp, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sp, Dc), jnp.float32),
             jax.ShapeDtypeStruct((B, H, Sp, Dp), jnp.float32),
         ],
         interpret=interpret,
     )(*common_in)
 
     specs_b = [
-        pl.BlockSpec((None, None, block_q, Dp), lambda h, i, b: (b, h, i, 0)),
-        pl.BlockSpec((None, None, Sp, Dp), lambda h, i, b: (b, h, 0, 0)),
-        pl.BlockSpec((None, None, Sp, Dp), lambda h, i, b: (b, h, 0, 0)),
-        pl.BlockSpec((None, None, block_q, Dp), lambda h, i, b: (b, h, i, 0)),
+        pl.BlockSpec((None, None, block_q, Dc), lambda h, i, b: (b, h, i, 0)),
+        pl.BlockSpec((None, None, Sp, Dc), lambda h, i, b: (b, h, 0, 0)),
         pl.BlockSpec((None, None, Sp, Dp), lambda h, i, b: (b, h, 0, 0)),
         pl.BlockSpec((None, block_q, Sp), lambda h, i, b: (h, i, 0)),
         pl.BlockSpec((B, Sp), lambda h, i, b: (0, 0)),
@@ -321,14 +307,14 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     else:
         drel = jnp.zeros_like(rel)
 
-    qsl = (slice(None), slice(None), slice(0, T), slice(0, D))
-    ksl = (slice(None), slice(None), slice(0, S), slice(0, D))
+    qsl = (slice(None), slice(None), slice(0, T))
+    ksl = (slice(None), slice(None), slice(0, S))
     return (
-        dq[qsl].astype(q.dtype),
-        dk[ksl].astype(k.dtype),
-        dv[ksl].astype(v.dtype),
-        dpq[qsl].astype(pq.dtype),
-        dpk[ksl].astype(pk.dtype),
+        dqc[qsl + (slice(0, D),)].astype(q.dtype),
+        dkc[ksl + (slice(0, D),)].astype(k.dtype),
+        dv[ksl + (slice(0, D),)].astype(v.dtype),
+        dqc[qsl + (slice(D, 2 * D),)].astype(pq.dtype),
+        dkc[ksl + (slice(D, 2 * D),)].astype(pk.dtype),
         drel,
     )
 
