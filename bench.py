@@ -125,6 +125,39 @@ def main():
     b32_s = timed(run, params_q, src2, imgs2, masks2)
     b32_sps = B2 / b32_s
 
+    # ---- training fwd+bwd throughput (caption-style CE, the joint-train
+    # hot path; exercises the Pallas attention VJP kernels). Batch 8 ≈ the
+    # reference's per-GPU bs=2 × update_freq=4 slice of its accum window.
+    Bt, Tt = 8, 20
+    rng_t = np.random.RandomState(1)
+    prev = jnp.asarray(
+        np.concatenate(
+            [np.full((Bt, 1), 0), rng_t.randint(4, 50000, (Bt, Tt - 1))], axis=1
+        ),
+        jnp.int32,
+    )
+    tgt = jnp.asarray(rng_t.randint(4, 50000, (Bt, Tt)), jnp.int32)
+
+    @jax.jit
+    def train_fwd_bwd(params, src, imgs, masks, i):
+        def loss_fn(p):
+            logits = ofa.forward(p, cfg, src, prev, imgs + i, masks)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = jax.tree.reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
+            grads,
+            jnp.float32(0.0),
+        )
+        return loss, gnorm
+
+    train_s = timed(
+        train_fwd_bwd, params, src[:Bt], imgs[:Bt], masks[:Bt], iters=3
+    )
+    train_sps = Bt / train_s
+
     best = max(samples_per_sec, int8_sps)
     print(
         json.dumps(
@@ -137,6 +170,8 @@ def main():
                 "bf16_samples_per_sec": round(samples_per_sec, 1),
                 "int8_outproj_samples_per_sec": round(int8_sps, 1),
                 "b32_int8_samples_per_sec": round(b32_sps, 1),
+                "train_fwd_bwd_samples_per_sec": round(train_sps, 1),
+                "train_step_ms_b8": round(train_s * 1000.0, 1),
                 "encoder_ms": round(enc_s * 1000.0, 1),
                 "decode_loop_ms": round(decode_s * 1000.0, 1),
                 "decode_ms_per_step": round(decode_s / 17 * 1000.0, 2),
