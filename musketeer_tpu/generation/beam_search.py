@@ -44,7 +44,11 @@ class BeamState(NamedTuple):
     alive_scores: jnp.ndarray  # [B, K] fp32 cumulative lprob
     finished_tokens: jnp.ndarray  # [B, K, T+2]
     finished_scores: jnp.ndarray  # [B, K] normalized (length-penalized)
-    dec_state: ofa.DecoderState  # flattened to B*K rows
+    # ONLY the mutable decoder state rides in the while_loop carry: the
+    # cross K/V, biases and padding (≈0.5GB at B16/S910, never written in
+    # the loop) stay CLOSED OVER as loop invariants — carrying them cost a
+    # measured ~1ms/step of copy traffic on v5e.
+    self_kv: Tuple[jnp.ndarray, jnp.ndarray]  # (self_k, self_v) [L, B*K, ...]
     trie_nodes: Optional[jnp.ndarray]  # [B, K] int32 trie cursor (or None)
     rng: Optional[jax.Array] = None  # sampling mode only
     cons_ptr: Optional[jnp.ndarray] = None  # [B, K] lexical-constraint pointer
@@ -190,6 +194,29 @@ def beam_search(
         params, cfg, encoder_out, max_len=max_len + 1, code_masks=code_masks,
         beam_size=K,
     )
+    # split mutable (self K/V) from invariant decoder state; the invariant
+    # part is closed over by the loop body (see BeamState docstring)
+    inv_state = dec_state._replace(
+        cache={
+            k: v for k, v in dec_state.cache.items()
+            if k not in ("self_k", "self_v")
+        }
+    )
+    # Pin the invariants in HBM: without the barrier XLA's constant-sinking
+    # RECOMPUTES the cross-K/V projections ([B,S,d]·[d,d] per layer) inside
+    # the while body on every decode step (seen in compiled HLO: the
+    # projection fusion tagged while/body at ~147k cycles per layer-step).
+    inv_state = jax.lax.optimization_barrier(inv_state)
+    init_self_kv = (dec_state.cache["self_k"], dec_state.cache["self_v"])
+
+    def _with_self_kv(self_kv):
+        return inv_state._replace(
+            cache={
+                **inv_state.cache,
+                "self_k": self_kv[0],
+                "self_v": self_kv[1],
+            }
+        )
 
     if gen_cfg.sampling:
         assert rng is not None, "sampling mode needs an rng"
@@ -211,7 +238,7 @@ def beam_search(
         alive_scores=init_alive,
         finished_tokens=jnp.full((B, K, T), pad, jnp.int32),
         finished_scores=jnp.full((B, K), NEG_INF, jnp.float32),
-        dec_state=dec_state,
+        self_kv=init_self_kv,
         trie_nodes=jnp.zeros((B, K), jnp.int32) if trie is not None else None,
         rng=rng if gen_cfg.sampling else None,
         cons_ptr=jnp.zeros((B, K), jnp.int32) if constraints is not None else None,
@@ -279,7 +306,8 @@ def beam_search(
             alive_scores=alive_scores,
             finished_tokens=fin_tokens,
             finished_scores=fin_top_scores,
-            dec_state=new_dec,  # chains keep their own rows; no reorder
+            # chains keep their own rows; no reorder
+            self_kv=(new_dec.cache["self_k"], new_dec.cache["self_v"]),
             trie_nodes=trie_nodes,
             rng=new_rng,
         )
@@ -300,7 +328,8 @@ def beam_search(
             s.alive_tokens, step, axis=2, keepdims=False
         )  # [B, K]
         logits, new_dec = ofa.decode_step(
-            params, cfg, _flat(cur_tokens), step, s.dec_state, code_masks=code_masks
+            params, cfg, _flat(cur_tokens), step, _with_self_kv(s.self_kv),
+            code_masks=code_masks,
         )  # [B*K, Vp]
         logits = logits.astype(jnp.float32)
         if gen_cfg.temperature != 1.0:
@@ -514,11 +543,19 @@ def beam_search(
                 v_ix.reshape(B, K * 2 * K), flat_ix, axis=1
             )
         else:
-            cand_scores = _unflat(lprobs, B, K)  # candidate domain: lprob + cum
-            flat_cand = cand_scores.reshape(B, K * Vp)
-            topk_scores, topk_idx = jax.lax.top_k(flat_cand, 2 * K)
-            topk_beams = topk_idx // Vp  # [B, 2K]
-            topk_toks = topk_idx % Vp
+            # Two-stage exact top-2K: per-beam-row top-2K on [B*K, Vp] then a
+            # tiny merge over [B, K·2K]. Equivalent to the flat top-2K over
+            # [B, K·Vp] (the global top-2K lies within each row's top-2K)
+            # but avoids reshaping the full-vocab buffer to [B, K·Vp] —
+            # which cost a physical 19MB layout-transpose copy per step in
+            # compiled HLO (TopK's operand layout constraint).
+            row_sc, row_ix = jax.lax.top_k(lprobs, 2 * K)  # [B*K, 2K]
+            merged_sc = _unflat(row_sc, B, K).reshape(B, K * 2 * K)
+            topk_scores, sel = jax.lax.top_k(merged_sc, 2 * K)
+            topk_beams = sel // (2 * K)  # [B, 2K]
+            topk_toks = jnp.take_along_axis(
+                _unflat(row_ix, B, K).reshape(B, K * 2 * K), sel, axis=1
+            )
 
         # candidate token buffers
         cand_tokens = _gather_beams(s.alive_tokens, topk_beams)  # [B, 2K, T]
@@ -569,17 +606,13 @@ def beam_search(
         alive_tokens = _gather_beams(cand_tokens, alive_top_idx)
         alive_beam_src = jnp.take_along_axis(topk_beams, alive_top_idx, axis=1)  # [B,K]
 
-        # reorder decoder KV cache rows to follow the selected beams
+        # reorder self-attn KV cache rows to follow the selected beams;
+        # cross K/V and biases are beam-uniform loop invariants (closure)
         bbsz = (jnp.arange(B)[:, None] * K + alive_beam_src).reshape(-1)  # [B*K]
-        cache = s.dec_state.cache
-        new_cache = {
-            "self_k": new_dec.cache["self_k"][:, bbsz],
-            "self_v": new_dec.cache["self_v"][:, bbsz],
-            "cross_k": cache["cross_k"],  # beam-uniform (tiled per sentence)
-            "cross_v": cache["cross_v"],
-        }
-        # biases/pos are beam-uniform after tiling → no reorder needed
-        new_dec = new_dec._replace(cache=new_cache)
+        new_self_kv = (
+            new_dec.cache["self_k"][:, bbsz],
+            new_dec.cache["self_v"][:, bbsz],
+        )
 
         # trie cursor transition
         if trie is not None:
@@ -602,7 +635,7 @@ def beam_search(
             alive_scores=alive_top_scores,
             finished_tokens=fin_tokens,
             finished_scores=fin_top_scores,
-            dec_state=new_dec,
+            self_kv=new_self_kv,
             trie_nodes=trie_nodes,
             cons_ptr=new_cons_ptr,
         )
