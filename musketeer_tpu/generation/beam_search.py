@@ -475,7 +475,15 @@ def beam_search(
             # token; banks (= constraint tokens consumed) share the beam via
             # stripe ranks instead of pure score order.
             cand = _unflat(lprobs, B, K)  # candidate domain: lprob + cum
-            sc2k, idx2k = jax.lax.top_k(cand.reshape(B, K * Vp), 2 * K)
+            # two-stage exact global top-2K (see default branch: avoids the
+            # [B, K*Vp] reshape's layout-copy)
+            row_sc, row_ix = jax.lax.top_k(lprobs, 2 * K)  # [B*K, 2K]
+            m_sc = _unflat(row_sc, B, K).reshape(B, K * 2 * K)
+            sc2k, sel = jax.lax.top_k(m_sc, 2 * K)
+            beams2k = sel // (2 * K)
+            toks2k = jnp.take_along_axis(
+                _unflat(row_ix, B, K).reshape(B, K * 2 * K), sel, axis=1
+            )
             ptr_clamped = jnp.minimum(s.cons_ptr, Cc - 1)
             next_tok = jnp.take_along_axis(cons_t, ptr_clamped, axis=1)  # [B,K]
             unf = s.cons_ptr < cons_total[:, None]
@@ -485,10 +493,10 @@ def beam_search(
             forced_sc = jnp.where(unf, forced_sc, NEG_INF)
             topk_scores = jnp.concatenate([sc2k, forced_sc], axis=1)  # [B,3K]
             topk_beams = jnp.concatenate(
-                [idx2k // Vp, jnp.broadcast_to(jnp.arange(K)[None], (B, K))],
+                [beams2k, jnp.broadcast_to(jnp.arange(K)[None], (B, K))],
                 axis=1,
             )
-            topk_toks = jnp.concatenate([idx2k % Vp, next_tok], axis=1)
+            topk_toks = jnp.concatenate([toks2k, next_tok], axis=1)
             # dedup: a forced candidate may coincide with a top-2K one
             same = (topk_beams[:, None, :] == topk_beams[:, :, None]) & (
                 topk_toks[:, None, :] == topk_toks[:, :, None]
@@ -517,10 +525,16 @@ def beam_search(
                     lp3[:, g::G]
                     - gen_cfg.diversity_strength * counts[:, None, :]
                 )  # [B,Kg,V]
-                sc_g, idx_g = jax.lax.top_k(cand_g.reshape(B, Kg * Vp), 2 * Kg)
-                tk_g = idx_g % Vp
+                # two-stage exact group top-2Kg (avoids [B, Kg*Vp] reshape)
+                r_sc, r_ix = jax.lax.top_k(cand_g, 2 * Kg)  # [B,Kg,2Kg]
+                sc_g, sel_g = jax.lax.top_k(
+                    r_sc.reshape(B, Kg * 2 * Kg), 2 * Kg
+                )
+                tk_g = jnp.take_along_axis(
+                    r_ix.reshape(B, Kg * 2 * Kg), sel_g, axis=1
+                )
                 sc_l.append(sc_g)
-                bm_l.append((idx_g // Vp) * G + g)
+                bm_l.append((sel_g // (2 * Kg)) * G + g)
                 tk_l.append(tk_g)
                 counts = counts.at[jnp.arange(B)[:, None], tk_g].add(1.0)
             topk_scores = jnp.concatenate(sc_l, axis=1)  # [B, 2K]
