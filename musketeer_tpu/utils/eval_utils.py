@@ -148,7 +148,12 @@ def score_candidates(
         if cand_masks is not None
         else None
     )
-    enc_tiled = tile_encoder_out(encoder_out, chunk_size)
+    # pinned: lax.map closes over the tiled encoder state, and XLA's
+    # constant-sinking would otherwise re-tile it inside every chunk
+    # iteration (same pathology as the beam-search decode loop)
+    enc_tiled = jax.lax.optimization_barrier(
+        tile_encoder_out(encoder_out, chunk_size)
+    )
 
     # [n_chunks, B*chunk, T]
     def to_chunks(a):
