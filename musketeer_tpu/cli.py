@@ -201,6 +201,8 @@ def cmd_evaluate(args):
     if args.diverse_groups:
         gen_overrides["diverse_beam_groups"] = args.diverse_groups
         gen_overrides["diversity_strength"] = args.diversity_strength
+    if getattr(args, "int8_kv_cache", False):
+        gen_overrides["int8_cross_kv"] = True
     if gen_overrides:
         task.set_generation_overrides(**gen_overrides)
     dataset = FileDataset(
@@ -407,6 +409,9 @@ def main(argv=None):
     pe.add_argument("--int8-output-proj", action="store_true",
                     help="serve with int8 output projection (halves the "
                          "decode loop's HBM weight read; ~1e-2 logit error)")
+    pe.add_argument("--int8-kv-cache", action="store_true",
+                    help="serve with an int8 cross-attention K/V cache "
+                         "(halves the decode loop's per-step cross-KV read)")
     pe.set_defaults(fn=cmd_evaluate)
 
     pa = sub.add_parser("evaluate-all")
@@ -414,6 +419,7 @@ def main(argv=None):
     pa.add_argument("--tasks", required=True, help="name=path.tsv[,name=path...]")
     pa.add_argument("--pt", default=None)
     pa.add_argument("--int8-output-proj", action="store_true")
+    pa.add_argument("--int8-kv-cache", action="store_true")
     pa.set_defaults(fn=cmd_evaluate_all)
 
     pv = sub.add_parser("vqgan-encode")

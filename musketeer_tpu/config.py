@@ -185,6 +185,9 @@ class GenerationConfig:
     diverse_beam_groups: int = 0  # >1 enables grouped Hamming diversity
     diversity_strength: float = 0.5  # group-count penalty weight
     diversity_rate: float = 0.0  # >0 enables sibling-rank penalty
+    # serving: int8-quantize the cross-attention K/V cache (per-position
+    # absmax scales; halves the decode loop's per-step cross-KV HBM read)
+    int8_cross_kv: bool = False
 
 
 @dataclass(frozen=True)

@@ -194,6 +194,8 @@ def beam_search(
         params, cfg, encoder_out, max_len=max_len + 1, code_masks=code_masks,
         beam_size=K,
     )
+    if gen_cfg.int8_cross_kv:
+        dec_state = ofa.quantize_cross_kv(dec_state)
     # split mutable (self K/V) from invariant decoder state; the invariant
     # part is closed over by the loop body (see BeamState docstring)
     inv_state = dec_state._replace(

@@ -980,10 +980,18 @@ def _decoder_layer(
         w = jnp.einsum(
             "bkhqd,bhsd->bkhqs", qb, ck, preferred_element_type=jnp.float32,
         )
+        if "cross_k_scale" in cache:
+            # int8 KV cache (quantize_cross_kv): the per-position dequant
+            # scale factors out of the hd contraction — applied to the
+            # tiny [B,K,H,1,S] scores, never to the cache itself
+            w = w * cache["cross_k_scale"][:, None, :, None, :]
         w = w + cross_bias.astype(jnp.float32)[:, None]
         w = jnp.where(enc_pad[:, None, None, None, :], -jnp.inf, w)
         probs = jax.nn.softmax(w, axis=-1)
-        probs = jnp.where(jnp.isnan(probs), 0.0, probs).astype(x.dtype)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+        if "cross_v_scale" in cache:
+            probs = probs * cache["cross_v_scale"][:, None, :, None, :]
+        probs = probs.astype(x.dtype)
         out = jnp.einsum(
             "bkhqs,bhsd->bkhqd", probs, cache["cross_v"].astype(x.dtype)
         )
@@ -1181,6 +1189,43 @@ def decode(
     return output_layer(params, cfg, x)
 
 
+def quantize_cross_kv(state: "DecoderState") -> "DecoderState":
+    """Per-position absmax int8 quantization of the cross-attention K/V cache.
+
+    Serving option: halves the cross-KV cache footprint (268 MB for
+    ofa_base at B16/S~900). The per-(layer,batch,head,position) scale
+    factors out of both attention contractions exactly —
+    ``q·(k·s) = (q·k)·s`` applied to the scores along S, and
+    ``Σ p·(v·s) = Σ (p·s)·v`` applied to the probabilities.
+
+    Measured NEGATIVE speed result on v5e at B16/S~900 (BENCH r2): ~6%
+    slower end-to-end because XLA materializes the int8→bf16 convert
+    rather than fusing it into the attention einsum — use for memory,
+    not latency, until that fusion lands.
+    """
+    cache = state.cache
+
+    def q(a):
+        af = a.astype(jnp.float32)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(af), axis=-1, keepdims=True), 1e-8
+        ) / 127.0
+        qa = jnp.clip(jnp.round(af / scale), -127, 127).astype(jnp.int8)
+        return qa, scale[..., 0]  # [L, B, H, S]
+
+    ck, ck_s = q(cache["cross_k"])
+    cv, cv_s = q(cache["cross_v"])
+    return state._replace(
+        cache={
+            **cache,
+            "cross_k": ck,
+            "cross_v": cv,
+            "cross_k_scale": ck_s,
+            "cross_v_scale": cv_s,
+        }
+    )
+
+
 def quantize_output_proj(params: Params) -> Params:
     """Per-row absmax int8 quantization of the tied output projection.
 
@@ -1373,12 +1418,21 @@ def decode_step(
     prompt_len = state.cache["self_k"].shape[3] - Tmax
     cache_index = step + prompt_len if prompt_len else step
 
+    int8_kv = "cross_k_scale" in state.cache  # see quantize_cross_kv
+
     def layer_body(x, layer_in):
-        layer_p, rel_i, self_k, self_v, cross_k, cross_v = layer_in
+        if int8_kv:
+            layer_p, rel_i, self_k, self_v, cross_k, cross_v, ck_s, cv_s = layer_in
+        else:
+            layer_p, rel_i, self_k, self_v, cross_k, cross_v = layer_in
+            ck_s = cv_s = None
         cache_i = {
             "self_k": self_k, "self_v": self_v,
             "cross_k": cross_k, "cross_v": cross_v,
         }
+        if int8_kv:
+            cache_i["cross_k_scale"] = ck_s
+            cache_i["cross_v_scale"] = cv_s
         bias_i = self_bias_t + rel_i.astype(self_bias_t.dtype)
         x, cache_i = _decoder_layer(
             layer_p, cfg, x, bias_i, cross_bias_t, None, state.enc_pad, None,
@@ -1386,14 +1440,17 @@ def decode_step(
         )
         return x, (cache_i["self_k"], cache_i["self_v"])
 
+    xs = (
+        dec["layers"], rel_t,
+        state.cache["self_k"], state.cache["self_v"],
+        state.cache["cross_k"], state.cache["cross_v"],
+    )
+    if int8_kv:
+        xs = xs + (state.cache["cross_k_scale"], state.cache["cross_v_scale"])
     x, (new_self_k, new_self_v) = jax.lax.scan(
         layer_body,
         x,
-        (
-            dec["layers"], rel_t,
-            state.cache["self_k"], state.cache["self_v"],
-            state.cache["cross_k"], state.cache["cross_v"],
-        ),
+        xs,
         # unrolling lets XLA overlap each layer's HBM weight fetch with the
         # previous layer's compute — the decode step is weight-read bound
         unroll=4,

@@ -463,3 +463,34 @@ def test_prefix_allowed_fn(tiny):
         body = seq[:-1]
         assert body[0] == 20
         assert body == list(range(20, 20 + len(body))), (b, seq)
+
+
+def test_int8_cross_kv(tiny):
+    """int8 cross-KV cache (quantize_cross_kv): per-position absmax scales
+    factor out of both attention contractions, so decode logits should match
+    the bf16 cache to quantization tolerance and beam search stays sane."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    state = ofa.init_decoder_state(params, cfg, enc, max_len=5, beam_size=1)
+    state_q = ofa.quantize_cross_kv(state)
+    toks = jnp.full((2,), cfg.bos, jnp.int32)
+    l1, _ = ofa.decode_step(params, cfg, toks, jnp.int32(0), state)
+    l2, _ = ofa.decode_step(params, cfg, toks, jnp.int32(0), state_q)
+    d1 = np.asarray(l1, np.float32)
+    d2 = np.asarray(l2, np.float32)
+    scale = max(1.0, float(np.abs(d1).max()))
+    assert np.abs(d1 - d2).max() < 0.02 * scale, (
+        np.abs(d1 - d2).max(), scale
+    )
+
+    gen_cfg = GenerationConfig(beam_size=2, max_len_b=5, min_len=1,
+                               int8_cross_kv=True)
+    tokens, scores = beam_search(params, cfg, gen_cfg, enc, max_len=5)
+    assert np.isfinite(np.asarray(scores)).all()
+    ref_tokens, _ = beam_search(
+        params, cfg, GenerationConfig(beam_size=2, max_len_b=5, min_len=1),
+        enc, max_len=5,
+    )
+    # tiny-model sanity: quantization should not change the argmax path
+    assert (np.asarray(tokens[:, 0]) == np.asarray(ref_tokens[:, 0])).mean() > 0.8
