@@ -268,6 +268,8 @@ def cmd_evaluate_all(args):
         if name not in ("gigaword", "cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli"):
             task_kw["patch_image_size"] = args.patch_image_size
         task = TASK_REGISTRY[name](vocab, description=args.description, **task_kw)
+        if getattr(args, "int8_kv_cache", False):
+            task.set_generation_overrides(int8_cross_kv=True)
         ds = FileDataset(path, shard_id=jax.process_index(), num_shards=jax.process_count())
         m = task.evaluate(params, model_cfg, ds, batch_size=args.batch_size, limit=args.limit)
         m.pop("predictions", None)

@@ -148,8 +148,19 @@ def beam_search(
     src_lengths: Optional[jnp.ndarray] = None,  # [B] → per-sentence min/max
     constraints: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     allowed_fn: Optional[Callable] = None,
+    n_models: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run constrained beam search. Returns (tokens [B,K,max_len+2], scores [B,K]).
+
+    ``n_models > 1`` enables ensemble decoding (ref: EnsembleModel,
+    models/sequence_generator.py:767-940): ``params`` is a pytree whose
+    leaves carry a leading model axis (stack same-architecture checkpoints
+    with ``jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)``) and
+    ``encoder_out`` likewise carries a leading model axis (each model
+    encodes the batch itself). Per step the models' normalized log-probs
+    are averaged in probability space (``logsumexp over models − log M``,
+    exactly fairseq's combination) before the beam competition; decoder
+    KV caches stay per-model via one vmapped decode step.
 
     Output rows are sorted by descending normalized score; tokens start after
     bos (i.e. row = generated sequence incl. final eos, pad-filled), matching
@@ -170,11 +181,13 @@ def beam_search(
     so any vectorizable constraint (grammar tables, per-sample vocab
     restrictions) stays on device.
     """
-    B = encoder_out.x.shape[0]
+    B = encoder_out.x.shape[1] if n_models > 1 else encoder_out.x.shape[0]
     K = gen_cfg.beam_size
     bos, pad, eos, unk = cfg.bos, cfg.pad, cfg.eos, cfg.unk
     Vp = cfg.padded_vocab_size
     T = max_len + 2
+    if n_models > 1:
+        assert not gen_cfg.int8_cross_kv, "int8 KV + ensemble not supported"
 
     if constraints is not None:
         assert not gen_cfg.sampling and gen_cfg.diverse_beam_groups <= 1 \
@@ -190,10 +203,18 @@ def beam_search(
     )
     # untiled encoder: cross K/V, bias and pad mask are beam-shared inside
     # decode_step (cuts per-step cross-attn HBM traffic by the beam factor)
-    dec_state = ofa.init_decoder_state(
-        params, cfg, encoder_out, max_len=max_len + 1, code_masks=code_masks,
-        beam_size=K,
-    )
+    if n_models > 1:
+        dec_state = jax.vmap(
+            lambda p, e: ofa.init_decoder_state(
+                p, cfg, e, max_len=max_len + 1, code_masks=code_masks,
+                beam_size=K,
+            )
+        )(params, encoder_out)
+    else:
+        dec_state = ofa.init_decoder_state(
+            params, cfg, encoder_out, max_len=max_len + 1,
+            code_masks=code_masks, beam_size=K,
+        )
     if gen_cfg.int8_cross_kv:
         dec_state = ofa.quantize_cross_kv(dec_state)
     # split mutable (self K/V) from invariant decoder state; the invariant
@@ -219,6 +240,47 @@ def beam_search(
                 "self_v": self_kv[1],
             }
         )
+
+    if n_models > 1:
+        def _decode(toks_flat, step, self_kv):
+            """Vmapped per-model step → probability-space-averaged lprobs
+            (logsumexp over models − log M, ref: EnsembleModel
+            forward_decoder avg_probs, sequence_generator.py:880-900)."""
+            st = _with_self_kv(self_kv)
+            logits_m, new_dec = jax.vmap(
+                lambda p, s_: ofa.decode_step(
+                    p, cfg, toks_flat, step, s_, code_masks=code_masks
+                )
+            )(params, st)
+            logits_m = logits_m.astype(jnp.float32)
+            if gen_cfg.temperature != 1.0:
+                logits_m = logits_m / gen_cfg.temperature
+            lp = jax.nn.log_softmax(logits_m, axis=-1)
+            comb = jax.scipy.special.logsumexp(lp, axis=0) - jnp.log(
+                float(n_models)
+            )
+            return comb, new_dec
+
+        def _reorder_kv(new_dec, bbsz):
+            return (
+                new_dec.cache["self_k"][:, :, bbsz],
+                new_dec.cache["self_v"][:, :, bbsz],
+            )
+    else:
+        def _decode(toks_flat, step, self_kv):
+            logits, new_dec = ofa.decode_step(
+                params, cfg, toks_flat, step, _with_self_kv(self_kv),
+                code_masks=code_masks,
+            )
+            if gen_cfg.temperature != 1.0:
+                logits = logits.astype(jnp.float32) / gen_cfg.temperature
+            return logits, new_dec
+
+        def _reorder_kv(new_dec, bbsz):
+            return (
+                new_dec.cache["self_k"][:, bbsz],
+                new_dec.cache["self_v"][:, bbsz],
+            )
 
     if gen_cfg.sampling:
         assert rng is not None, "sampling mode needs an rng"
@@ -324,18 +386,145 @@ def beam_search(
         improvable = jnp.any(best_alive > worst_fin)
         return jnp.logical_and(not_done, improvable)
 
+    # ---- fast candidate path -------------------------------------------
+    # When no vocab-shaped constraint applies (the headline caption/gigaword
+    # configs), the [B*K, Vp] post-matmul work collapses to TWO reads of the
+    # bf16 logits (a fused-fp32 logsumexp and a top-M) and every ban lands on
+    # the [B*K, M] candidate set instead of the full-vocab buffer. Exact:
+    # bans can remove at most pad + eos + the n-gram-banned tokens (≤ T-n+1
+    # distinct ids) from a row's top-M, so M = 2K + that bound keeps ≥2K
+    # unbanned candidates; forced at-max eos is appended as its own column.
+    # (r2 profiling: the full-vocab candidate chain + top-2K cost ~0.8ms of
+    # the 1.97ms step at B16/beam5 — this path removes nearly all of it.)
+    fast_path = (
+        trie is None
+        and gen_cfg.constraint_range is None
+        and allowed_fn is None
+        and constraints is None
+        and not gen_cfg.sampling
+        and gen_cfg.diverse_beam_groups <= 1
+        and gen_cfg.diversity_rate == 0
+        and prefix_tokens is None
+        and gen_cfg.unk_penalty == 0
+        and not gen_cfg.gen_box
+        and not gen_cfg.gen_code
+    )
+    ngram = gen_cfg.no_repeat_ngram_size
+    fast_M = min(2 * K + 2 + (T - ngram + 1 if ngram > 0 else 0), Vp)
+
+    def body_fast(s: BeamState) -> BeamState:
+        step = s.step
+        N = B * K
+        cur_tokens = jax.lax.dynamic_index_in_dim(
+            s.alive_tokens, step, axis=2, keepdims=False
+        )  # [B, K]
+        logits, new_dec = _decode(_flat(cur_tokens), step, s.self_kv)
+        # fused single-pass fp32 logsumexp over the (bf16) logits; top-M
+        # order is dtype-invariant (fp32 upcast is exact)
+        Z = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1
+        )  # [N]
+        vals, ids = jax.lax.top_k(logits, fast_M)  # [N, M]
+        alive_flat = _flat(s.alive_scores)  # [N]
+        cand = vals.astype(jnp.float32) - Z[:, None] + alive_flat[:, None]
+        cand = jnp.where(jnp.isnan(cand), NEG_INF, cand)
+        cand = jnp.where(ids == pad, NEG_INF, cand)  # (ref :388)
+        min_thr = row_min if row_min is not None else gen_cfg.min_len
+        min_act = jnp.broadcast_to(step < min_thr, (N,))
+        cand = jnp.where(
+            jnp.logical_and(min_act[:, None], ids == eos), NEG_INF, cand
+        )
+        if ngram > 0:
+            # candidate-domain n-gram blocking: a candidate is banned iff its
+            # token completes a seen n-gram (same match rule as
+            # _apply_no_repeat_ngram, compared against M ids instead of
+            # scattered into the vocab buffer)
+            tokens_flat = _flat(s.alive_tokens)
+            L = tokens_flat.shape[1]
+            idx = jnp.arange(L - ngram + 1)
+            valid = idx + ngram - 1 <= step
+            match = jnp.ones((N, L - ngram + 1), bool)
+            for j in range(ngram - 1):
+                ctx_j = jnp.take_along_axis(
+                    tokens_flat,
+                    jnp.full((N, 1), 0) + (step - (ngram - 2) + j),
+                    axis=1,
+                )
+                match = match & (
+                    tokens_flat[:, j : j + L - ngram + 1] == ctx_j
+                )
+            match = match & valid[None, :]
+            banned = tokens_flat[:, ngram - 1 :]  # [N, L-n+1]
+            ban_hit = jnp.any(
+                (ids[:, :, None] == banned[:, None, :]) & match[:, None, :],
+                axis=2,
+            )
+            can_block = step + 2 - ngram >= 0
+            cand = jnp.where(
+                jnp.logical_and(can_block, ban_hit), NEG_INF, cand
+            )
+        at_max = jnp.broadcast_to(step >= max_len, (N,))
+        if row_max is not None:
+            at_max = jnp.logical_or(at_max, step >= row_max)
+        cand = jnp.where(at_max[:, None], NEG_INF, cand)
+        # forced-eos column: value = cumulative score when at max (ref
+        # :400-404), NEG_INF otherwise (a real eos candidate, if viable,
+        # is already in the top-M)
+        eos_val = jnp.where(at_max, alive_flat, NEG_INF)
+        cand_ext = jnp.concatenate([cand, eos_val[:, None]], axis=1)
+        ids_ext = jnp.concatenate(
+            [ids, jnp.full((N, 1), eos, ids.dtype)], axis=1
+        )
+
+        # two-stage exact top-2K over the tiny candidate set
+        row_sc, row_pos = jax.lax.top_k(cand_ext, 2 * K)
+        row_ix = jnp.take_along_axis(ids_ext, row_pos, axis=1)
+        merged_sc = _unflat(row_sc, B, K).reshape(B, K * 2 * K)
+        topk_scores, sel = jax.lax.top_k(merged_sc, 2 * K)
+        topk_beams = sel // (2 * K)
+        topk_toks = jnp.take_along_axis(
+            _unflat(row_ix, B, K).reshape(B, K * 2 * K), sel, axis=1
+        )
+
+        cand_tokens = _gather_beams(s.alive_tokens, topk_beams)  # [B, 2K, T]
+        cand_tokens = jax.lax.dynamic_update_index_in_dim(
+            cand_tokens, topk_toks, step + 1, axis=2
+        )
+        is_eos = topk_toks == eos
+        new_fin_scores = jnp.where(
+            is_eos, topk_scores / length_norm(step), NEG_INF
+        )
+        fin_scores_all = jnp.concatenate(
+            [s.finished_scores, new_fin_scores], axis=1
+        )
+        fin_tokens_all = jnp.concatenate(
+            [s.finished_tokens, cand_tokens], axis=1
+        )
+        fin_top_scores, fin_top_idx = jax.lax.top_k(fin_scores_all, K)
+        fin_tokens = _gather_beams(fin_tokens_all, fin_top_idx)
+
+        alive_cand_scores = jnp.where(is_eos, NEG_INF, topk_scores)
+        alive_top_scores, alive_top_idx = jax.lax.top_k(alive_cand_scores, K)
+        alive_tokens = _gather_beams(cand_tokens, alive_top_idx)
+        alive_beam_src = jnp.take_along_axis(topk_beams, alive_top_idx, axis=1)
+        bbsz = (jnp.arange(B)[:, None] * K + alive_beam_src).reshape(-1)
+        return BeamState(
+            step=step + 1,
+            alive_tokens=alive_tokens,
+            alive_scores=alive_top_scores,
+            finished_tokens=fin_tokens,
+            finished_scores=fin_top_scores,
+            self_kv=_reorder_kv(new_dec, bbsz),
+            trie_nodes=None,
+        )
+
     def body(s: BeamState) -> BeamState:
         step = s.step
         cur_tokens = jax.lax.dynamic_index_in_dim(
             s.alive_tokens, step, axis=2, keepdims=False
         )  # [B, K]
-        logits, new_dec = ofa.decode_step(
-            params, cfg, _flat(cur_tokens), step, _with_self_kv(s.self_kv),
-            code_masks=code_masks,
-        )  # [B*K, Vp]
+        logits, new_dec = _decode(_flat(cur_tokens), step, s.self_kv)
         logits = logits.astype(jnp.float32)
-        if gen_cfg.temperature != 1.0:
-            logits = logits / gen_cfg.temperature
 
         # trie constraints only apply past the (prompt) prefix — the reference
         # strips the prefix before walking (sequence_generator.py:860-863)
@@ -445,11 +634,11 @@ def beam_search(
         )
 
         # lexical constraints: eos blocked until all constraints are met
-        # (ref: search.py:309-323 "Prevent EOS for unfinished hyps"). Applied
-        # after the at-max forcing: a hypothesis with unmet constraints can
-        # NEVER finalize — stricter than the reference, which finalizes
-        # unmet hypos at max_len; callers get a constraint-satisfying output
-        # or the un-eos'd alive fallback.
+        # (ref: search.py:309-323 "Prevent EOS for unfinished hyps"; the
+        # block lands after the generator's max_len forcing in the reference
+        # too, so unmet hypos never finalize there either — fairseq simply
+        # returns no hypothesis for such sentences). Static shapes force us
+        # to return a row: the post-loop fallback terminates it with eos.
         if constraints is not None:
             cons_unfinished = s.cons_ptr < cons_total[:, None]  # [B, K]
             lprobs = lprobs + jnp.where(
@@ -473,9 +662,12 @@ def beam_search(
         cand_ptr = None
         if constraints is not None:
             # Post & Vilar dynamic beam allocation (ref: search.py:264-300):
-            # candidates = global top-2K ∪ each beam's forced next-constraint
-            # token; banks (= constraint tokens consumed) share the beam via
-            # stripe ranks instead of pure score order.
+            # candidates = global top-2K ∪ each beam's own top-1 (the
+            # reference's per-beam top-each_k addition, search.py step docs —
+            # a beam whose best token falls outside the global top-2K keeps
+            # its continuation) ∪ each beam's forced next-constraint token;
+            # banks (= constraint tokens consumed) share the beam via stripe
+            # ranks instead of pure score order.
             cand = _unflat(lprobs, B, K)  # candidate domain: lprob + cum
             # two-stage exact global top-2K (see default branch: avoids the
             # [B, K*Vp] reshape's layout-copy)
@@ -486,6 +678,8 @@ def beam_search(
             toks2k = jnp.take_along_axis(
                 _unflat(row_ix, B, K).reshape(B, K * 2 * K), sel, axis=1
             )
+            top1_sc = _unflat(row_sc, B, K)[:, :, 0]  # [B, K] per-beam best
+            top1_tok = _unflat(row_ix, B, K)[:, :, 0]
             ptr_clamped = jnp.minimum(s.cons_ptr, Cc - 1)
             next_tok = jnp.take_along_axis(cons_t, ptr_clamped, axis=1)  # [B,K]
             unf = s.cons_ptr < cons_total[:, None]
@@ -493,17 +687,18 @@ def beam_search(
                 cand, next_tok[:, :, None], axis=2
             )[..., 0]
             forced_sc = jnp.where(unf, forced_sc, NEG_INF)
-            topk_scores = jnp.concatenate([sc2k, forced_sc], axis=1)  # [B,3K]
-            topk_beams = jnp.concatenate(
-                [beams2k, jnp.broadcast_to(jnp.arange(K)[None], (B, K))],
-                axis=1,
-            )
-            topk_toks = jnp.concatenate([toks2k, next_tok], axis=1)
-            # dedup: a forced candidate may coincide with a top-2K one
+            beam_ids = jnp.broadcast_to(jnp.arange(K)[None], (B, K))
+            topk_scores = jnp.concatenate(
+                [sc2k, top1_sc, forced_sc], axis=1
+            )  # [B, 4K]
+            topk_beams = jnp.concatenate([beams2k, beam_ids, beam_ids], axis=1)
+            topk_toks = jnp.concatenate([toks2k, top1_tok, next_tok], axis=1)
+            # dedup: per-beam top-1 / forced candidates may coincide with a
+            # top-2K one
             same = (topk_beams[:, None, :] == topk_beams[:, :, None]) & (
                 topk_toks[:, None, :] == topk_toks[:, :, None]
             )
-            Nc = 3 * K
+            Nc = 4 * K
             earlier = (jnp.arange(Nc)[None, :] < jnp.arange(Nc)[:, None])[None]
             dup = jnp.any(same & earlier, axis=2)
             topk_scores = jnp.where(dup, NEG_INF, topk_scores)
@@ -625,10 +820,7 @@ def beam_search(
         # reorder self-attn KV cache rows to follow the selected beams;
         # cross K/V and biases are beam-uniform loop invariants (closure)
         bbsz = (jnp.arange(B)[:, None] * K + alive_beam_src).reshape(-1)  # [B*K]
-        new_self_kv = (
-            new_dec.cache["self_k"][:, bbsz],
-            new_dec.cache["self_v"][:, bbsz],
-        )
+        new_self_kv = _reorder_kv(new_dec, bbsz)
 
         # trie cursor transition
         if trie is not None:
@@ -656,16 +848,21 @@ def beam_search(
             cons_ptr=new_cons_ptr,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body_fast if fast_path else body, init)
 
-    # Sentences may end with no finished hypo only if eos was unreachable;
-    # the max_len forcing makes that impossible, but guard anyway by falling
-    # back to alive beams.
+    # Sentences may end with no finished hypo when eos was unreachable
+    # (unmeetable lexical constraints; dead sampling chains). The reference
+    # returns NO hypothesis in that case; static shapes force a row, so fall
+    # back to the best alive prefix, TERMINATED with eos (overwriting the
+    # meaningless all-banned final pick) so eos-scanning detokenizers are
+    # safe. Fallback scores stay deeply negative — an honest "no valid
+    # hypothesis" signal callers can threshold on.
     have_fin = final.finished_scores > NEG_INF / 2
     fallback_scores = final.alive_scores / length_norm(jnp.int32(max_len))
     scores = jnp.where(have_fin, final.finished_scores, fallback_scores)
+    alive_terminated = final.alive_tokens.at[:, :, -1].set(eos)
     tokens = jnp.where(
-        have_fin[:, :, None], final.finished_tokens, final.alive_tokens
+        have_fin[:, :, None], final.finished_tokens, alive_terminated
     )
     # strip bos: reference hypos are tokens[1:step+2]
     return tokens[:, :, 1:], scores
@@ -685,9 +882,27 @@ def generate(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """encode + beam_search, jit-friendly end to end.
 
+    ``params`` may be a LIST of same-architecture param pytrees — ensemble
+    decoding with probability-space lprob averaging (ref: EnsembleModel,
+    models/sequence_generator.py:767-940; load via
+    checkpoint_utils.load_model_ensemble in the reference).
+
     Returns (tokens [B, K, max_len+1], normalized scores [B, K]).
     """
-    enc = ofa.encode(params, cfg, src_tokens, patch_images, patch_masks)
+    n_models = 1
+    if isinstance(params, (list, tuple)):
+        n_models = len(params)
+        if n_models == 1:
+            params = params[0]
+        else:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+            params = stacked
+    if n_models > 1:
+        enc = jax.vmap(
+            lambda p: ofa.encode(p, cfg, src_tokens, patch_images, patch_masks)
+        )(params)
+    else:
+        enc = ofa.encode(params, cfg, src_tokens, patch_images, patch_masks)
     max_len = int(gen_cfg.max_len_a * src_tokens.shape[1] + gen_cfg.max_len_b)
     # per-sentence length constraints activate when a length slope is set
     src_lengths = (
@@ -707,4 +922,5 @@ def generate(
         src_lengths=src_lengths,
         constraints=constraints,
         allowed_fn=allowed_fn,
+        n_models=n_models,
     )

@@ -27,9 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e9
-# stripe separation for the (rank, score) lexicographic sort key; cumulative
-# beam scores are O(max_len * ln V) << this
-_STRIPE = 1e5
 
 
 def pack_constraints(
@@ -74,7 +71,13 @@ def constraint_transition(
     advance = (toks == expected) & unfinished
     phrase_start = jnp.take_along_axis(starts, ptr_c, axis=1)
     mid = (ptr > phrase_start) & unfinished
-    return jnp.where(advance, ptr + 1, jnp.where(mid, phrase_start, ptr))
+    # a mid-phrase mismatch that equals the phrase's FIRST token restarts the
+    # phrase with that token already consumed (fairseq OrderedConstraintState
+    # advances to root+1) — keeps self-overlapping phrases like [a,a,b] over
+    # "a a a b" in step with the reference
+    first = jnp.take_along_axis(cons, jnp.minimum(phrase_start, C - 1), axis=1)
+    rewind_to = jnp.where(toks == first, phrase_start + 1, phrase_start)
+    return jnp.where(advance, ptr + 1, jnp.where(mid, rewind_to, ptr))
 
 
 def stripe_rank(bank: jnp.ndarray, score: jnp.ndarray) -> jnp.ndarray:
@@ -96,5 +99,21 @@ def stripe_rank(bank: jnp.ndarray, score: jnp.ndarray) -> jnp.ndarray:
 
 def stripe_key(bank: jnp.ndarray, score: jnp.ndarray) -> jnp.ndarray:
     """Selection key: lexicographic (stripe rank asc, score desc) as one
-    float — higher key = selected first."""
-    return score - _STRIPE * stripe_rank(bank, score)
+    float — higher key = selected first.
+
+    Exact integer ordering: key = -(stripe_rank·N + global_score_rank),
+    both ranks < N so the packed key < N² « 2²⁴ is exactly representable
+    in fp32 — no packed-float resolution loss between near-tied scores
+    (a score-offset packing loses ~0.016 of fp32 resolution by rank 1).
+    Within one stripe rank, lower global score rank ⇔ higher score, so the
+    ordering is identical to (rank asc, score desc) with index tiebreak.
+    """
+    N = bank.shape[1]
+    same = bank[:, :, None] == bank[:, None, :]
+    j_lt_i = (jnp.arange(N)[None, :] < jnp.arange(N)[:, None])[None]
+    better = (score[:, None, :] > score[:, :, None]) | (
+        (score[:, None, :] == score[:, :, None]) & j_lt_i
+    )
+    global_rank = jnp.sum(better, axis=2)  # unique 0..N-1 per row
+    srank = jnp.sum(same & better, axis=2)
+    return -(srank * N + global_rank).astype(jnp.float32)

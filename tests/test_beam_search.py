@@ -494,3 +494,174 @@ def test_int8_cross_kv(tiny):
     )
     # tiny-model sanity: quantization should not change the argmax path
     assert (np.asarray(tokens[:, 0]) == np.asarray(ref_tokens[:, 0])).mean() > 0.8
+
+
+def test_constraint_rewind_recheck():
+    """A mid-phrase mismatch equal to the phrase's first token restarts the
+    phrase with that token consumed (fairseq OrderedConstraintState root+1
+    behavior for self-overlapping phrases like [a,a,b])."""
+    from musketeer_tpu.generation.lexical import (
+        constraint_transition, pack_constraints,
+    )
+
+    cons, starts = pack_constraints([[[5, 5, 6]]], pad=1)
+    cons_t, starts_t = jnp.asarray(cons), jnp.asarray(starts)
+    total = jnp.sum(cons_t != 1, axis=1)
+    # ptr=2 ('5 5' consumed), next tok 5: expected 6 mismatches, but tok ==
+    # phrase first token -> ptr = phrase_start+1 = 1 (not 0)
+    out = constraint_transition(
+        cons_t, starts_t, total, jnp.asarray([[2, 2, 2]]),
+        jnp.asarray([[5, 6, 7]]),
+    )
+    np.testing.assert_array_equal(np.asarray(out), [[1, 3, 0]])
+
+
+def test_stripe_key_exact_lexicographic():
+    """stripe_key must order candidates exactly by (bank rank asc, score
+    desc, index asc) even for near-tied fp32 scores (the packed-float
+    offset key lost ~0.008 of resolution per rank stripe)."""
+    from musketeer_tpu.generation.lexical import stripe_key
+
+    rng = np.random.RandomState(0)
+    banks = rng.randint(0, 3, (4, 12)).astype(np.int32)
+    # scores with sub-resolution gaps (1e-4 << the old 1e5-offset ulp)
+    scores = (rng.randint(0, 50, (4, 12)) * 1e-4 - 5.0).astype(np.float32)
+    key = np.asarray(stripe_key(jnp.asarray(banks), jnp.asarray(scores)))
+    for b in range(4):
+        got = np.argsort(-key[b], kind="stable")
+        # expected: rank within bank asc, then score desc, then index asc
+        rank = np.zeros(12, np.int64)
+        for c in range(12):
+            same = banks[b] == banks[b, c]
+            rank[c] = np.sum(
+                same & (
+                    (scores[b] > scores[b, c])
+                    | ((scores[b] == scores[b, c]) & (np.arange(12) < c))
+                )
+            )
+        expect = sorted(
+            range(12), key=lambda c: (rank[c], -scores[b, c], c)
+        )
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_unmeetable_constraints_fallback_terminated(tiny):
+    """Unmeetable constraints: the reference returns NO hypothesis (its eos
+    block lands after the max_len forcing); our static-shape fallback row
+    must still be eos-terminated (safe for eos-scanning detokenizers) with
+    a deeply negative score callers can threshold on."""
+    from musketeer_tpu.generation.lexical import pack_constraints
+
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=1, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    # 6-token phrase can never fit in max_len=3
+    cons = pack_constraints([[[17, 23, 31, 44, 17, 23]]], pad=cfg.pad)
+    gen_cfg = GenerationConfig(beam_size=3, max_len_b=3, min_len=1)
+    tokens, scores = beam_search(
+        params, cfg, gen_cfg, enc, max_len=3, constraints=cons
+    )
+    seq = [int(t) for t in np.asarray(tokens[0, 0]) if t != cfg.pad]
+    assert scores[0, 0] < -1e7  # "no valid hypothesis" signal
+    assert seq[-1] == cfg.eos  # but the row is still terminated
+
+
+def test_fast_path_matches_general_path(tiny):
+    """The candidate-domain fast path (top-M on raw logits + bans on the
+    candidate set) must be token-exact vs the general full-vocab path.
+    An all-true allowed_fn forces the general path without changing
+    semantics (where(True, lprobs, -inf) is the identity)."""
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=3, T=6)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    Vp = cfg.padded_vocab_size
+
+    def all_true(step, tokens_flat):
+        return jnp.ones((tokens_flat.shape[0], Vp), bool)
+
+    for gen_cfg in [
+        GenerationConfig(beam_size=3, max_len_b=6, min_len=2,
+                         no_repeat_ngram_size=3),
+        GenerationConfig(beam_size=2, max_len_b=5),
+        GenerationConfig(beam_size=4, max_len_b=4, len_penalty=0.7),
+    ]:
+        run = jax.jit(
+            lambda p, e, g=gen_cfg: beam_search(
+                p, cfg, g, e, max_len=g.max_len_b
+            )
+        )
+        run_slow = jax.jit(
+            lambda p, e, g=gen_cfg: beam_search(
+                p, cfg, g, e, max_len=g.max_len_b, allowed_fn=all_true
+            )
+        )
+        t_f, s_f = run(params, enc)
+        t_s, s_s = run_slow(params, enc)
+        s_f, s_s = np.asarray(s_f), np.asarray(s_s)
+        t_f, t_s = np.asarray(t_f), np.asarray(t_s)
+        real = (s_f > -1e6) & (s_s > -1e6)
+        assert real[:, 0].all()  # top hypo always real
+        np.testing.assert_allclose(s_f[real], s_s[real], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(t_f[real], t_s[real])
+
+
+def test_ensemble_duplicate_matches_single(tiny):
+    """An ensemble of the SAME model twice must decode exactly like the
+    single model (logsumexp of identical lprobs − log 2 = the lprob)."""
+    from musketeer_tpu.generation.beam_search import generate
+
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, B=2, T=6)
+    gen_cfg = GenerationConfig(beam_size=3, max_len_b=5, min_len=1)
+    t1, s1 = jax.jit(
+        lambda p: generate(p, cfg, gen_cfg, src, imgs, masks)
+    )(params)
+    t2, s2 = jax.jit(
+        lambda p: generate([p, p], cfg, gen_cfg, src, imgs, masks)
+    )(params)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-5)
+
+
+def test_ensemble_two_models_greedy_matches_manual(tiny):
+    """2-model greedy ensemble == manual per-step probability averaging
+    (ref: EnsembleModel.forward_decoder avg over models)."""
+    from musketeer_tpu.generation.beam_search import generate
+
+    cfg, params = tiny
+    params2 = ofa.init_ofa_params(jax.random.PRNGKey(7), cfg)
+    src, imgs, masks = make_batch(cfg, B=1, T=6)
+    max_len = 5
+    gen_cfg = GenerationConfig(beam_size=1, max_len_b=max_len, min_len=1)
+    toks, _ = generate([params, params2], cfg, gen_cfg, src, imgs, masks)
+    got = [int(t) for t in np.asarray(toks[0, 0]) if t != cfg.pad]
+
+    # manual greedy over averaged probs via full re-decode
+    enc1 = ofa.encode(params, cfg, src, imgs, masks)
+    enc2 = ofa.encode(params2, cfg, src, imgs, masks)
+    seq = [cfg.bos]
+    out = []
+    for t in range(max_len + 1):
+        prev = jnp.asarray([seq], jnp.int32)
+        lp1 = jax.nn.log_softmax(
+            ofa.decode(params, cfg, prev, enc1)[0, -1].astype(jnp.float32)
+        )
+        lp2 = jax.nn.log_softmax(
+            ofa.decode(params2, cfg, prev, enc2)[0, -1].astype(jnp.float32)
+        )
+        avg = np.asarray(
+            jnp.logaddexp(lp1, lp2) - jnp.log(2.0), np.float64
+        )
+        avg[cfg.pad] = -np.inf
+        if t < 1:
+            avg[cfg.eos] = -np.inf
+        if t >= max_len:
+            only = np.full_like(avg, -np.inf)
+            only[cfg.eos] = 0.0
+            avg = only
+        nxt = int(avg.argmax())
+        out.append(nxt)
+        seq.append(nxt)
+        if nxt == cfg.eos:
+            break
+    assert got == out, (got, out)
