@@ -80,26 +80,127 @@ def _translate_y(img, m):
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
 
 
+def _identity(img, _):
+    return img
+
+
 RANDAUG_OPS = [
     _autocontrast, _equalize, _invert, _rotate, _posterize, _solarize,
     _color, _contrast, _brightness, _sharpness,
     _shear_x, _shear_y, _translate_x, _translate_y,
 ]
 
+# the exact op list the reference's train stacks request (RandomAugment(2, 7,
+# augs=['Identity', 'AutoContrast', 'Equalize', 'Brightness', 'Sharpness',
+# 'ShearX', 'ShearY', 'TranslateX', 'TranslateY', 'Rotate']) — ref:
+# data/cv_data/image_classify_dataset.py:85-90, unify_dataset.py:208-211)
+OFA_RANDAUG_OPS = [
+    _identity, _autocontrast, _equalize, _brightness, _sharpness,
+    _shear_x, _shear_y, _translate_x, _translate_y, _rotate,
+]
+
 
 class RandAugment:
     """n random ops at magnitude m (Cubuk et al.; ref vision_helper zoo)."""
 
-    def __init__(self, n: int = 2, m: int = 9, seed: Optional[int] = None):
+    def __init__(
+        self, n: int = 2, m: int = 9, seed: Optional[int] = None,
+        ops: Optional[List] = None,
+    ):
         self.n = n
         self.m = m
+        self.ops = ops if ops is not None else RANDAUG_OPS
         if seed is not None:
             random.seed(seed)
 
     def __call__(self, img: Image.Image) -> Image.Image:
-        for op in random.sample(RANDAUG_OPS, self.n):
+        for op in random.sample(self.ops, self.n):
             img = op(img, self.m)
         return img
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+    rng: Optional[random.Random] = None,
+) -> Image.Image:
+    """torchvision/timm RandomResizedCrop: random area+aspect window →
+    bicubic resize to (size, size). Used by the reference's ImageNet train
+    transform (timm create_transform, image_classify_dataset.py:68-79)."""
+    rng = rng or random
+    w, h = img.size
+    area = w * h
+    import math
+
+    for _ in range(10):
+        target = rng.uniform(*scale) * area
+        log_r = rng.uniform(math.log(ratio[0]), math.log(ratio[1]))
+        ar = math.exp(log_r)
+        cw = int(round(math.sqrt(target * ar)))
+        ch = int(round(math.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            box = (left, top, left + cw, top + ch)
+            return img.resize((size, size), Image.BICUBIC, box=box)
+    # fallback: center crop of the constrained aspect
+    s = min(w, h)
+    left, top = (w - s) // 2, (h - s) // 2
+    return img.resize((size, size), Image.BICUBIC, box=(left, top, left + s, top + s))
+
+
+def color_jitter(
+    img: Image.Image, strength: float = 0.4,
+    rng: Optional[random.Random] = None,
+) -> Image.Image:
+    """Brightness/contrast/saturation jitter, each factor uniform in
+    [1-s, 1+s] (torchvision ColorJitter(0.4), the reference's timm
+    color_jitter=0.4)."""
+    rng = rng or random
+    enh = [ImageEnhance.Brightness, ImageEnhance.Contrast, ImageEnhance.Color]
+    order = list(range(3))
+    rng.shuffle(order)
+    for i in order:
+        f = rng.uniform(max(0.0, 1 - strength), 1 + strength)
+        img = enh[i](img).enhance(f)
+    return img
+
+
+def random_erasing(
+    arr: np.ndarray,  # [H, W, 3] float (already normalized)
+    p: float = 0.25,
+    scale: Tuple[float, float] = (0.02, 1 / 3),
+    ratio: Tuple[float, float] = (0.3, 3.3),
+    rng: Optional[random.Random] = None,
+) -> np.ndarray:
+    """timm RandomErasing mode='pixel': with prob p replace a random patch
+    with unit-gaussian pixels (ref timm re_prob=0.25, re_mode='pixel',
+    image_classify_dataset.py:74-76)."""
+    rng = rng or random
+    if rng.random() >= p:
+        return arr
+    import math
+
+    H, W = arr.shape[:2]
+    area = H * W
+    for _ in range(10):
+        target = rng.uniform(*scale) * area
+        log_r = rng.uniform(math.log(ratio[0]), math.log(ratio[1]))
+        ar = math.exp(log_r)
+        eh = int(round(math.sqrt(target / ar)))
+        ew = int(round(math.sqrt(target * ar)))
+        if 0 < eh < H and 0 < ew < W:
+            top = rng.randint(0, H - eh)
+            left = rng.randint(0, W - ew)
+            out = arr.copy()
+            np_rng = np.random.RandomState(rng.randint(0, 2**31 - 1))
+            out[top : top + eh, left : left + ew] = np_rng.randn(
+                eh, ew, arr.shape[2]
+            ).astype(arr.dtype)
+            return out
+    return arr
 
 
 # ---------------------------------------------------------------------------

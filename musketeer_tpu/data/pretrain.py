@@ -87,15 +87,42 @@ class TextInfillingBuilder(BuilderBase):
 
 
 class ImageTextPairBuilder(BuilderBase):
-    """Image-text pair pretraining example (caption-style)."""
+    """Image-text pair pretraining example (caption-style).
+
+    Train split applies the reference's patch_resize_transform
+    (ref: unify_dataset.py:208-214): shortest-side RandomResize over scales
+    [patch..480] capped at 672 → CenterCrop(patch) → RandAugment(2, 7, OFA
+    op list) → normalize. Eval keeps the deterministic square resize."""
 
     task = "image_text_pair"
 
+    def __init__(self, *a, seed: int = 0, **kw):
+        super().__init__(*a, **kw)
+        self._aug_np = np.random.RandomState(seed)
+        from .augment import OFA_RANDAUG_OPS, RandAugment
+
+        self._randaug = RandAugment(2, 7, ops=OFA_RANDAUG_OPS)
+
+    def _train_patch(self, image) -> np.ndarray:
+        from .augment import resize_shortest_side
+        from .transforms import center_crop, normalize
+
+        S = self.patch_image_size
+        size = int(self._aug_np.randint(S, max(481, S + 1)))
+        img, _ = resize_shortest_side(image.convert("RGB"), None, size, 672)
+        img = center_crop(img, S)
+        img = self._randaug(img)
+        return normalize(np.asarray(img, np.float32) / 255.0, self.imagenet_stats)
+
     def __call__(self, row: Sequence[str]) -> Example:
         uniq_id, image_b64, caption = row[0], row[1], row[2]
-        patch = patch_resize(
-            decode_base64_image(image_b64), self.patch_image_size, self.imagenet_stats
-        )
+        image = decode_base64_image(image_b64)
+        if self.split == "train":
+            patch = self._train_patch(image)
+        else:
+            patch = patch_resize(
+                image, self.patch_image_size, self.imagenet_stats
+            )
         src = self.wrap_src(self.enc(" what does the image describe?"))
         tgt = self.enc(f" {caption.strip()}", length=self.max_tgt_length)
         target, prev = self.seq2seq_targets(tgt)

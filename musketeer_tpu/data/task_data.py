@@ -299,21 +299,53 @@ class SnliVeBuilder(BuilderBase):
 
 
 class ImageClassifyBuilder(BuilderBase):
-    """ref: data/cv_data/image_classify_dataset.py (480² resize at eval;
-    RandAug train pipeline is a TODO — center path matches eval parity)."""
+    """ref: data/cv_data/image_classify_dataset.py — 480² bicubic resize at
+    eval; the train split runs the reference's timm pipeline
+    (image_classify_dataset.py:68-90): RandomResizedCrop → hflip →
+    ColorJitter(0.4) → RandAugment(2, 7, OFA op list) → normalize →
+    RandomErasing(p=0.25, 'pixel')."""
 
     task = "image_classify"
 
-    def __init__(self, *a, trie=None, prompt_type: str = "prev_output", **kw):
+    def __init__(self, *a, trie=None, prompt_type: str = "prev_output",
+                 seed: int = 0, **kw):
         super().__init__(*a, **kw)
         self.trie = trie
         self.prompt_type = prompt_type
+        import random as _random
+
+        self._aug_rng = _random.Random(seed)
+        from .augment import OFA_RANDAUG_OPS, RandAugment
+
+        self._randaug = RandAugment(2, 7, ops=OFA_RANDAUG_OPS)
+
+    def _train_patch(self, image) -> np.ndarray:
+        from .augment import color_jitter, random_erasing, random_resized_crop
+        from .transforms import normalize
+        from PIL import Image as PILImage
+
+        rng = self._aug_rng
+        img = random_resized_crop(
+            image.convert("RGB"), self.patch_image_size, rng=rng
+        )
+        if rng.random() < 0.5:
+            img = img.transpose(PILImage.FLIP_LEFT_RIGHT)
+        img = color_jitter(img, 0.4, rng=rng)
+        img = self._randaug(img)
+        arr = normalize(
+            np.asarray(img, np.float32) / 255.0, self.imagenet_stats
+        )
+        return random_erasing(arr, 0.25, rng=rng)
 
     def __call__(self, row: Sequence[str]) -> Example:
         uniq_id, image_b64, label = row[0], row[1], row[2]
-        patch = patch_resize(
-            decode_base64_image(image_b64), self.patch_image_size, self.imagenet_stats
-        )
+        image = decode_base64_image(image_b64)
+        if self.split == "train":
+            patch = self._train_patch(image)
+        else:
+            patch = patch_resize(
+                image, self.patch_image_size, self.imagenet_stats
+            )
         src = self.wrap_src(self.enc(self.prompt()))
         tgt = self.enc(f" {label}")
         prev, target = VqaBuilder._decoder_io(self, src, tgt)

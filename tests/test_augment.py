@@ -128,3 +128,75 @@ def test_large_scale_jitter():
     out, jb = large_scale_jitter(img, boxes, 64, rng=rng)
     assert out.size == (64, 64)
     assert (jb >= 0).all() and (jb <= 64).all()
+
+
+def test_image_classify_train_randaug_pipeline():
+    """Train split runs RandomResizedCrop→flip→jitter→RandAug→erasing (ref
+    image_classify_dataset.py:68-90); eval stays the deterministic resize,
+    and both emit the same (S, S, 3) patch shape."""
+    from musketeer_tpu.data.task_data import ImageClassifyBuilder
+    from musketeer_tpu.tokenization import default_vocab
+    from tests.test_data import fake_image_b64
+
+    v = default_vocab()
+    random.seed(0)
+    row = ["7", fake_image_b64(96, 80), "tiger"]
+    train_b = ImageClassifyBuilder(
+        v, split="train", patch_image_size=32, seed=3
+    )
+    eval_b = ImageClassifyBuilder(v, split="valid", patch_image_size=32)
+    ex_t = train_b(row)
+    ex_e = eval_b(row)
+    assert ex_t.patch_image.shape == ex_e.patch_image.shape == (32, 32, 3)
+    # stochastic train path ≠ deterministic eval path
+    assert not np.allclose(ex_t.patch_image, ex_e.patch_image)
+    # train draws differ call to call
+    ex_t2 = train_b(row)
+    assert not np.allclose(ex_t.patch_image, ex_t2.patch_image)
+    # eval is deterministic
+    np.testing.assert_allclose(ex_e.patch_image, eval_b(row).patch_image)
+
+
+def test_ofa_randaug_op_list_matches_reference():
+    """OFA_RANDAUG_OPS must be exactly the reference's requested aug list,
+    in order (ref: image_classify_dataset.py:85-87, unify_dataset.py:211)."""
+    from musketeer_tpu.data.augment import OFA_RANDAUG_OPS
+
+    names = [op.__name__.lstrip("_") for op in OFA_RANDAUG_OPS]
+    assert names == [
+        "identity", "autocontrast", "equalize", "brightness", "sharpness",
+        "shear_x", "shear_y", "translate_x", "translate_y", "rotate",
+    ]
+
+
+def test_image_text_pair_train_transform():
+    """Pretrain pair builder: train = RandomResize+CenterCrop+RandAug (ref
+    unify_dataset.py:208-214), eval = square resize; same output shape."""
+    from musketeer_tpu.data.pretrain import ImageTextPairBuilder
+    from musketeer_tpu.tokenization import default_vocab
+    from tests.test_data import fake_image_b64
+
+    v = default_vocab()
+    random.seed(0)
+    row = ["3", fake_image_b64(100, 60), "a dog on grass"]
+    train_b = ImageTextPairBuilder(v, split="train", patch_image_size=32, seed=5)
+    eval_b = ImageTextPairBuilder(v, split="valid", patch_image_size=32)
+    ex_t = train_b(row)
+    ex_e = eval_b(row)
+    assert ex_t.patch_image.shape == ex_e.patch_image.shape == (32, 32, 3)
+    assert not np.allclose(ex_t.patch_image, ex_e.patch_image)
+
+
+def test_random_resized_crop_and_erasing():
+    from musketeer_tpu.data.augment import random_erasing, random_resized_crop
+
+    img = Image.new("RGB", (90, 70), (10, 200, 30))
+    rng = random.Random(0)
+    out = random_resized_crop(img, 48, rng=rng)
+    assert out.size == (48, 48)
+    arr = np.zeros((40, 40, 3), np.float32)
+    erased = random_erasing(arr, p=1.0, rng=random.Random(1))
+    assert erased.shape == arr.shape
+    assert np.abs(erased).sum() > 0  # some pixels replaced with gaussians
+    # p=0 never erases
+    np.testing.assert_array_equal(random_erasing(arr, p=0.0, rng=random.Random(1)), arr)
