@@ -180,21 +180,6 @@ class AllCandTask(Task):
                         jnp.asarray(node), jnp.asarray([t], jnp.int32)
                     )
                 )
-        self._chunk_mask_cache: dict = {}
-
-    def _chunk_masks(self, c0: int, c1: int) -> np.ndarray:
-        """[chunk, Tc, V] constraint masks for candidates c0:c1 (cached)."""
-        key = (c0, c1)
-        if key not in self._chunk_mask_cache:
-            v = self.vocab
-            nodes = self._ans_nodes[c0:c1].reshape(-1)
-            masks = np.asarray(
-                self.trie.allowed_mask(jnp.asarray(nodes), v.padded_size)
-            ).reshape(c1 - c0, self.Tc, v.padded_size)
-            # pad positions (target == pad) are unsupervised; leave masks as-is
-            self._chunk_mask_cache[key] = masks
-        return self._chunk_mask_cache[key]
-
     def make_score_fn(self, model_cfg):
         @functools.partial(jax.jit, static_argnames=())
         def encode_fn(params, src, imgs, masks):
@@ -204,11 +189,18 @@ class AllCandTask(Task):
         def encode_text_fn(params, src):
             return ofa.encode(params, model_cfg, src)
 
+        trie = self.trie
+
         @jax.jit
-        def score_fn(params, enc_x, enc_pad, enc_pos, prev, ans_pos, ans_target, ans_masks):
+        def score_fn(params, enc_x, enc_pad, enc_pos, prev, ans_pos, ans_target, ans_nodes):
             enc = ofa.EncoderOut(enc_x, enc_pad, enc_pos)
+            # constraint masks gathered ON DEVICE from the trie cursors —
+            # no host-side [chunk, Tc, V] mask cache (VQA's 3,129-answer set
+            # cost ~1 GB of host RAM that way; ref builds the same masks per
+            # answer on CPU, vqa_gen.py:169-190)
             return score_candidates_span(
-                params, model_cfg, enc, prev, ans_pos, ans_target, ans_masks
+                params, model_cfg, enc, prev, ans_pos, ans_target,
+                trie=trie, ans_nodes=ans_nodes,
             )
 
         return encode_fn, encode_text_fn, score_fn
@@ -271,15 +263,11 @@ class AllCandTask(Task):
                     src_rows, enc_chunk, batch["src_tokens"].shape[1]
                 )
                 tgt = self._ans_target[idxs]
-                msk = self._chunk_masks(c0, c1)
-                if c1 - c0 < chunk:
-                    msk = np.concatenate(
-                        [msk, np.repeat(msk[-1:], chunk - (c1 - c0), axis=0)]
-                    )
+                nodes = self._ans_nodes[idxs]
                 scores = score_fn(
                     params, enc.x, enc.padding_mask, enc.pos_embed,
                     jnp.asarray(prev), jnp.asarray(ans_pos),
-                    jnp.asarray(tgt), jnp.asarray(msk),
+                    jnp.asarray(tgt), jnp.asarray(nodes),
                 )
                 all_scores.append(np.asarray(scores)[:, : c1 - c0])
             scores = np.concatenate(all_scores, axis=1)  # [B, C]

@@ -186,12 +186,18 @@ def score_candidates_span(
     ans_pos: jnp.ndarray,  # [B, Tc] target positions of the answer span
     ans_target: jnp.ndarray,  # [C, Tc] answer tokens + eos, pad-padded
     ans_masks: Optional[jnp.ndarray] = None,  # [C, Tc, V] constraint masks
+    trie=None,  # DenseTrie: build masks ON DEVICE from ans_nodes
+    ans_nodes: Optional[jnp.ndarray] = None,  # [C, Tc] trie cursors
 ) -> jnp.ndarray:
     """Memory-bounded allcand scoring: logits are sliced to the answer span
     before masking/softmax, so the [*, T, V] full-sequence lprobs (the
     reference's repeat_interleave blowup, vqa_gen.py:286-295) never
     materialize. Masks depend only on (candidate, span position) — one
-    [C, Tc, V] table shared across the batch. → scores [B, C].
+    [C, Tc, V] table shared across the batch; with ``trie``+``ans_nodes``
+    that table is gathered on device inside the jitted program (a transient
+    [C, Tc, V] bool, freed after the where) instead of being materialized
+    and cached on the host (the reference-scale VQA set costs ~1 GB host RAM
+    that way). → scores [B, C].
     """
     B, C, T = cand_prev.shape
     Tc = ans_pos.shape[1]
@@ -203,6 +209,11 @@ def score_candidates_span(
     feats_span = jnp.take_along_axis(feats, span_idx[..., None], axis=1)
     logits = ofa.output_layer(params, cfg, feats_span).astype(jnp.float32)
     logits = logits.reshape(B, C, Tc, -1)
+    if trie is not None and ans_nodes is not None:
+        V = logits.shape[-1]
+        ans_masks = trie.allowed_mask(ans_nodes.reshape(-1), V).reshape(
+            C, Tc, V
+        )
     if ans_masks is not None:
         logits = jnp.where(ans_masks[None], logits, -1e9)
     lprobs = jax.nn.log_softmax(logits, axis=-1)
