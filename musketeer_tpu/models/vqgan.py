@@ -92,6 +92,12 @@ def decode_code(params: Params, cfg: VQGANConfig, codes: jnp.ndarray) -> jnp.nda
     ref: vqgan.py decode_code → quantize.embed_code + decoder forward.
     """
     z = params["codebook"].astype(jnp.float32)[codes]  # [B, h, w, embed_dim]
+    return decode_z(params, cfg, z)
+
+
+def decode_z(params: Params, cfg: VQGANConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Quantized latents [B, h, w, embed_dim] → images (decoder forward,
+    ref: taming vqgan.py VQModel.decode :59-63)."""
     z = _conv(params["post_quant_conv"], z)
     h = _conv(params["conv_in"], z)
     h = _resnet_block(params["mid_block_1"], h)
@@ -142,6 +148,19 @@ def encode_codes(params: Params, cfg: VQGANConfig, images: jnp.ndarray) -> jnp.n
     assert "encoder" in params, (
         "checkpoint has no encoder weights (decode-only conversion)"
     )
+    h = _encoder_features(params, images)
+
+    if "gumbel_proj" in params:
+        # GumbelVQ at eval: hard argmax over the code logits
+        # (ref: quantize.py GumbelQuantize.forward :171-186, hard=True)
+        logits = _conv(params["gumbel_proj"], h)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    z = _conv(params["quant_conv"], h).astype(jnp.float32)  # [B,h,w,e]
+    return _nearest_codes(params, z)
+
+
+def _encoder_features(params: Params, images: jnp.ndarray) -> jnp.ndarray:
     enc = params["encoder"]
     h = _conv(enc["conv_in"], images)
     for down in enc["down"]:
@@ -154,15 +173,10 @@ def encode_codes(params: Params, cfg: VQGANConfig, images: jnp.ndarray) -> jnp.n
     h = _resnet_block(enc["mid_block_1"], h)
     h = _attn_block(enc["mid_attn"], h)
     h = _resnet_block(enc["mid_block_2"], h)
-    h = _conv(enc["conv_out"], _swish(_group_norm(enc["norm_out"], h)))
+    return _conv(enc["conv_out"], _swish(_group_norm(enc["norm_out"], h)))
 
-    if "gumbel_proj" in params:
-        # GumbelVQ at eval: hard argmax over the code logits
-        # (ref: quantize.py GumbelQuantize.forward :171-186, hard=True)
-        logits = _conv(params["gumbel_proj"], h)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    z = _conv(params["quant_conv"], h).astype(jnp.float32)  # [B,h,w,e]
+def _nearest_codes(params: Params, z: jnp.ndarray) -> jnp.ndarray:
     e = params["codebook"].astype(jnp.float32)  # [N, e]
     # ||z - e||² = z² + e² - 2 z·e (ref: quantize.py:49-51)
     d = (
@@ -171,6 +185,58 @@ def encode_codes(params: Params, cfg: VQGANConfig, images: jnp.ndarray) -> jnp.n
         - 2.0 * jnp.einsum("bhwc,nc->bhwn", z, e)
     )
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# training path (first-stage objective; ref: taming quantize.py:42-94 +
+# vqgan.py VQModel.training_step. The adversarial/perceptual terms
+# (NLayerDiscriminator + LPIPS, modules/losses/) are an explicit won't-fix:
+# they require pretrained VGG/discriminator weights unavailable offline AND
+# the reference never executes its vendored training code at runtime —
+# Musketeer only ever calls decode_code on a frozen tokenizer.)
+# ---------------------------------------------------------------------------
+
+def quantize_train(
+    params: Params, z: jnp.ndarray, beta: float = 0.25
+):
+    """VectorQuantizer forward with straight-through gradients.
+
+    z [B, h, w, e] → (z_q with straight-through estimator, codes [B, h, w],
+    q_loss). q_loss = ||sg(z) − e||² (codebook) + beta·||z − sg(e)||²
+    (commitment), exactly taming's VectorQuantizer2.forward
+    (ref: modules/vqvae/quantize.py:62-78, legacy=False ordering).
+    """
+    z = z.astype(jnp.float32)
+    codes = _nearest_codes(params, z)
+    z_q = params["codebook"].astype(jnp.float32)[codes]
+    codebook_loss = jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2)
+    commit_loss = jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
+    q_loss = codebook_loss + beta * commit_loss
+    # straight-through: gradients flow to the encoder as if identity
+    z_q = z + jax.lax.stop_gradient(z_q - z)
+    return z_q, codes, q_loss
+
+
+def autoencode_train(
+    params: Params, cfg: VQGANConfig, images: jnp.ndarray, beta: float = 0.25
+):
+    """Full first-stage VQGAN train forward: encode → quantize (straight
+    through) → decode. Returns (recon, codes, loss_dict) with
+    loss = L1 reconstruction + quantizer loss (the generator objective
+    minus its perceptual/adversarial terms, ref: vqgan.py training_step +
+    losses/vqperceptual.py:40-66 with perceptual_weight=disc_factor=0).
+    Differentiable end to end — drive with jax.grad for codebook training.
+    """
+    h = _encoder_features(params, images)
+    z = _conv(params["quant_conv"], h)
+    z_q, codes, q_loss = quantize_train(params, z, beta=beta)
+    recon = decode_z(params, cfg, z_q)
+    rec_loss = jnp.mean(jnp.abs(images - recon))
+    return recon, codes, {
+        "loss": rec_loss + q_loss,
+        "rec_loss": rec_loss,
+        "q_loss": q_loss,
+    }
 
 
 # ---------------------------------------------------------------------------

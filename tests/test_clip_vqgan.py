@@ -434,3 +434,136 @@ def test_vqgan_encode_matches_torch():
     )
     assert ids.shape == ref_ids.shape == (2, 8, 8)
     np.testing.assert_array_equal(ref_ids, ids)
+
+
+def test_vqgan_quantizer_train_matches_torch():
+    """quantize_train (straight-through VQ + codebook/commit losses) vs a
+    torch mirror of taming VectorQuantizer2.forward (quantize.py:62-78):
+    same loss AND same gradients wrt encoder latents and codebook."""
+    from musketeer_tpu.models.vqgan import quantize_train
+
+    torch.manual_seed(3)
+    beta = 0.25
+    z_t = torch.randn(2, 4, 4, 8, requires_grad=True)
+    emb_t = torch.randn(20, 8, requires_grad=True)
+    d = (
+        (z_t.reshape(-1, 8) ** 2).sum(1, keepdim=True)
+        + (emb_t**2).sum(1)
+        - 2 * z_t.reshape(-1, 8) @ emb_t.t()
+    )
+    ids_t = d.argmin(1)
+    z_q = emb_t[ids_t].reshape(z_t.shape)
+    loss_t = torch.mean((z_q - z_t.detach()) ** 2) + beta * torch.mean(
+        (z_q.detach() - z_t) ** 2
+    )
+    z_q_st = z_t + (z_q - z_t).detach()
+    total_t = 1.3 * z_q_st.sum() + loss_t
+    total_t.backward()
+
+    params = {"codebook": jnp.asarray(emb_t.detach().numpy())}
+
+    def total_fn(z, emb):
+        z_q_j, codes, q_loss = quantize_train({"codebook": emb}, z, beta=beta)
+        return 1.3 * jnp.sum(z_q_j) + q_loss, codes
+
+    (gz, ge), codes = (
+        jax.grad(lambda z, e: total_fn(z, e)[0], argnums=(0, 1))(
+            jnp.asarray(z_t.detach().numpy()), params["codebook"]
+        ),
+        total_fn(jnp.asarray(z_t.detach().numpy()), params["codebook"])[1],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(codes).reshape(-1), ids_t.numpy()
+    )
+    np.testing.assert_allclose(np.asarray(gz), z_t.grad.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ge), emb_t.grad.numpy(), atol=1e-5)
+
+
+def test_vqgan_autoencode_train_smoke():
+    """End-to-end first-stage objective: encode→quantize→decode is
+    differentiable, shape-preserving, and grads reach encoder, decoder and
+    codebook (ref VQModel.training_step generator objective minus the
+    perceptual/GAN terms — see PARITY.md won't-fix)."""
+    from musketeer_tpu.models.vqgan import (
+        autoencode_train, convert_vqgan_state_dict,
+    )
+
+    torch.manual_seed(5)
+    zc, ch = 16, 32
+
+    class Up(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, 1, 1)
+
+        def forward(self, x):
+            return self.conv(
+                torch.nn.functional.interpolate(x, scale_factor=2.0)
+            )
+
+    class Down(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, 2, 0)
+
+        def forward(self, x):
+            return self.conv(torch.nn.functional.pad(x, (0, 1, 0, 1)))
+
+    class VQ(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.quantize = nn.Module()
+            self.quantize.embedding = nn.Embedding(24, zc)
+            self.quant_conv = nn.Conv2d(zc, zc, 1)
+            self.post_quant_conv = nn.Conv2d(zc, zc, 1)
+            self.encoder = nn.Module()
+            self.encoder.conv_in = nn.Conv2d(3, ch, 3, 1, 1)
+            d0 = nn.Module()
+            d0.block = nn.ModuleList([_Res(ch, ch)])
+            d0.downsample = Down(ch)
+            self.encoder.down = nn.ModuleList([d0])
+            self.encoder.mid = nn.Module()
+            self.encoder.mid.block_1 = _Res(ch, ch)
+            self.encoder.mid.attn_1 = _Attn(ch)
+            self.encoder.mid.block_2 = _Res(ch, ch)
+            self.encoder.norm_out = _gn(ch)
+            self.encoder.conv_out = nn.Conv2d(ch, zc, 3, 1, 1)
+            self.decoder = nn.Module()
+            self.decoder.conv_in = nn.Conv2d(zc, ch, 3, 1, 1)
+            self.decoder.mid = nn.Module()
+            self.decoder.mid.block_1 = _Res(ch, ch)
+            self.decoder.mid.attn_1 = _Attn(ch)
+            self.decoder.mid.block_2 = _Res(ch, ch)
+            # two levels: level 1 upsamples (decode walks high→low and only
+            # levels != 0 upsample), level 0 doesn't
+            u0 = nn.Module()
+            u0.block = nn.ModuleList([_Res(ch, ch), _Res(ch, ch)])
+            u1 = nn.Module()
+            u1.block = nn.ModuleList([_Res(ch, ch), _Res(ch, ch)])
+            u1.upsample = Up(ch)
+            self.decoder.up = nn.ModuleList([u0, u1])
+            self.decoder.norm_out = _gn(ch)
+            self.decoder.conv_out = nn.Conv2d(ch, 3, 3, 1, 1)
+
+    m = VQ().eval()
+    params, cfg = convert_vqgan_state_dict(m.state_dict())
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3) * 2 - 1,
+                       jnp.float32)
+
+    def loss_fn(p):
+        recon, codes, losses = autoencode_train(p, cfg, imgs)
+        return losses["loss"], (recon, codes, losses)
+
+    (loss, (recon, codes, losses)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    # decoder upsamples back to the input resolution
+    assert recon.shape == imgs.shape
+    assert np.isfinite(float(loss))
+    assert codes.shape == (1, 8, 8)
+    gnorm = lambda sub: float(
+        sum(np.abs(np.asarray(g)).sum() for g in jax.tree.leaves(sub))
+    )
+    assert gnorm(grads["encoder"]) > 0  # straight-through reaches encoder
+    assert gnorm(grads["codebook"]) > 0
+    assert gnorm(grads["up"]) > 0  # decoder grads
