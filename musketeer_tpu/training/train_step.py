@@ -14,6 +14,7 @@ losses are added (sample_size=1).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -21,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import CriterionConfig, ModelConfig, OptimConfig
-from ..criterions.label_smoothed_ce import label_smoothed_ce
+from ..criterions.label_smoothed_ce import CELossOut, label_smoothed_ce
 from ..models import ofa
 from .train_state import TrainState, ema_update, make_optimizer
 
@@ -91,6 +92,118 @@ def task_loss(
     return out
 
 
+def _pack_key(batch: TaskBatch):
+    """Static grouping key for the packed text forward, or None if the batch
+    is not packable (vision/code/patch-subsample batches keep their own
+    forwards — their shapes and aux inputs are heterogeneous)."""
+    if (
+        batch.patch_images is not None
+        or batch.patch_masks is not None
+        or batch.code_masks is not None
+        or batch.sample_patch_order is not None
+    ):
+        return None
+    return (
+        batch.src_tokens.shape,
+        batch.prev_output_tokens.shape,
+        batch.constraint_masks is not None,
+    )
+
+
+def packed_text_loss(
+    params,
+    model_cfg: ModelConfig,
+    crit_cfg: CriterionConfig,
+    group: Dict[str, TaskBatch],  # same-shape text-only batches
+    rng: Optional[jax.Array],
+    update_num: jnp.ndarray,
+):
+    """ONE forward for G same-shape text-only tasks, per-task losses exact.
+
+    SURVEY §7's architecture stance: the reference runs 9 sequential
+    forwards per step (ref: label_smoothed_cross_entropy.py:175-202); tasks
+    that share (src_len, tgt_len) buckets and carry no vision inputs (the 7
+    GLUE tasks + gigaword + text infilling under a common bucket) instead
+    concatenate along batch into a single transformer pass — bigger matmuls,
+    one kernel stream. Per-task semantics are preserved exactly by vmapping
+    the criterion over the task axis: drop-worst/drop-best ranking, R-Drop
+    halves and ntokens normalization all stay within each task's segment.
+    """
+    names = sorted(group)
+    G = len(names)
+    bs = [group[n] for n in names]
+    B = bs[0].src_tokens.shape[0]
+    assert all(b.src_tokens.shape[0] == B for b in bs)
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    src = cat([b.src_tokens for b in bs])  # [G*B, Ts]
+    prev = cat([b.prev_output_tokens for b in bs])
+    tgt = cat([b.target for b in bs])
+    has_cm = bs[0].constraint_masks is not None
+    cm = cat([b.constraint_masks for b in bs]) if has_cm else None
+    # conf is per-sample multiplicative — missing members get neutral ones
+    if any(b.conf is not None for b in bs):
+        conf = cat([
+            b.conf if b.conf is not None else jnp.ones((B,), jnp.float32)
+            for b in bs
+        ])
+    else:
+        conf = None
+
+    dup = crit_cfg.use_rdrop
+    if dup:
+        d = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
+        src, prev, tgt, cm, conf = d(src), d(prev), d(tgt), d(cm), d(conf)
+
+    logits = ofa.forward(
+        params, model_cfg, src, prev, rngs=rng, deterministic=rng is None,
+        train_bn=False,
+    )
+
+    def per_task(shaped):
+        """[R*G*B, ...] → [G, R*B, ...] with R-Drop halves aligned per task."""
+        if shaped is None:
+            return None
+        R = 2 if dup else 1
+        x = shaped.reshape((R, G, B) + shaped.shape[1:])
+        x = jnp.swapaxes(x, 0, 1)  # [G, R, B, ...]
+        return x.reshape((G, R * B) + shaped.shape[1:])
+
+    ce = functools.partial(
+        label_smoothed_ce,
+        epsilon=crit_cfg.label_smoothing,
+        pad_id=model_cfg.pad,
+        constraint_range=(
+            (crit_cfg.constraint_start, crit_cfg.constraint_end)
+            if crit_cfg.constraint_start is not None
+            else None
+        ),
+        drop_worst_ratio=crit_cfg.drop_worst_ratio,
+        drop_worst_active=update_num > crit_cfg.drop_worst_after,
+        drop_best_ratio=crit_cfg.drop_best_ratio,
+        drop_best_active=update_num > crit_cfg.drop_best_after,
+        use_rdrop=dup,
+        reg_alpha=crit_cfg.reg_alpha,
+        vocab_size=model_cfg.vocab_size,
+        encouraging_log_end=crit_cfg.encouraging_log_end,
+    )
+    if has_cm and conf is not None:
+        outs = jax.vmap(lambda lg, t, c, cf: ce(lg, t, constraint_masks=c, conf=cf))(
+            per_task(logits), per_task(tgt), per_task(cm), per_task(conf)
+        )
+    elif has_cm:
+        outs = jax.vmap(lambda lg, t, c: ce(lg, t, constraint_masks=c))(
+            per_task(logits), per_task(tgt), per_task(cm)
+        )
+    elif conf is not None:
+        outs = jax.vmap(lambda lg, t, cf: ce(lg, t, conf=cf))(
+            per_task(logits), per_task(tgt), per_task(conf)
+        )
+    else:
+        outs = jax.vmap(lambda lg, t: ce(lg, t))(per_task(logits), per_task(tgt))
+    return names, outs
+
+
 def multitask_loss(
     params,
     model_cfg: ModelConfig,
@@ -98,17 +211,64 @@ def multitask_loss(
     batches: Dict[str, TaskBatch],
     rng: Optional[jax.Array],
     update_num: jnp.ndarray,
+    pack_text: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Σ_task loss_t / ntokens_t (ref criterion recursion semantics)."""
+    """Σ_task loss_t / ntokens_t (ref criterion recursion semantics).
+
+    ``pack_text=True`` fuses same-shape text-only tasks into one forward
+    (see :func:`packed_text_loss`); vision/code tasks keep per-task
+    forwards (heterogeneous shapes/aux inputs)."""
     total = 0.0
     metrics: Dict[str, jnp.ndarray] = {}
-    for i, (name, batch) in enumerate(sorted(batches.items())):
-        trng = None if rng is None else jax.random.fold_in(rng, i)
-        out = task_loss(params, model_cfg, crit_cfg, batch, trng, update_num)
+    ordered = sorted(batches.items())
+
+    groups: Dict[object, Dict[str, TaskBatch]] = {}
+    singles = []
+    if pack_text:
+        for name, batch in ordered:
+            key = _pack_key(batch)
+            if key is None:
+                singles.append((name, batch))
+            else:
+                groups.setdefault(key, {})[name] = batch
+        # groups of one gain nothing — run them the plain way
+        for key in list(groups):
+            if len(groups[key]) == 1:
+                singles.extend(groups.pop(key).items())
+    else:
+        singles = ordered
+
+    def add(name, out):
+        nonlocal total
         norm = out.loss / jnp.maximum(out.ntokens, 1.0)
         total = total + norm
         metrics[f"loss/{name}"] = norm
         metrics[f"nll/{name}"] = out.nll_loss / jnp.maximum(out.ntokens, 1.0)
+
+    name_index = {name: i for i, (name, _) in enumerate(ordered)}
+    for name, batch in singles:
+        trng = (
+            None if rng is None else jax.random.fold_in(rng, name_index[name])
+        )
+        add(name, task_loss(params, model_cfg, crit_cfg, batch, trng, update_num))
+    for key, group in sorted(groups.items(), key=str):
+        grng = (
+            None
+            if rng is None
+            else jax.random.fold_in(rng, min(name_index[n] for n in group))
+        )
+        names, outs = packed_text_loss(
+            params, model_cfg, crit_cfg, group, grng, update_num
+        )
+        for g, name in enumerate(names):
+            add(
+                name,
+                CELossOut(
+                    loss=outs.loss[g],
+                    nll_loss=outs.nll_loss[g],
+                    ntokens=outs.ntokens[g],
+                ),
+            )
     metrics["loss/total"] = total
     return total, metrics
 
@@ -119,6 +279,7 @@ def make_train_step(
     optim_cfg: OptimConfig,
     ema_decay: float = 0.0,
     donate: bool = True,
+    pack_text: bool = True,
 ):
     """Build the jitted train step.
 
@@ -128,7 +289,10 @@ def make_train_step(
     tx = make_optimizer(optim_cfg)
 
     def loss_fn(params, micro, rng, update_num):
-        return multitask_loss(params, model_cfg, crit_cfg, micro, rng, update_num)
+        return multitask_loss(
+            params, model_cfg, crit_cfg, micro, rng, update_num,
+            pack_text=pack_text,
+        )
 
     def step(state: TrainState, batches: Dict[str, TaskBatch], rng: jax.Array):
         A = jax.tree.leaves(batches)[0].shape[0]

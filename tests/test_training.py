@@ -320,3 +320,64 @@ def test_checkpoint_best_requires_improvement(tmp_path):
     w = mgr2.step(state, 1, 10, end_of_epoch=False, steps_in_epoch=5)
     assert "checkpoint_1_10" in w
     assert os.path.exists(tmp_path / "checkpoint_1_10.meta.json")
+
+
+def _text_batch_cm(cfg, B=2, Ts=8, Tt=5, seed=0, with_cm=False, with_conf=False):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(4, cfg.vocab_size - 1, (B, Ts)).astype(np.int32)
+    tgt = rng.randint(4, cfg.vocab_size - 1, (B, Tt)).astype(np.int32)
+    tgt[:, -1] = cfg.eos
+    prev = np.roll(tgt, 1, axis=1)
+    prev[:, 0] = cfg.bos
+    cm = None
+    if with_cm:
+        m = rng.rand(B, Tt, cfg.padded_vocab_size) < 0.5
+        # targets must stay allowed
+        for b in range(B):
+            m[b, np.arange(Tt), tgt[b]] = True
+        cm = jnp.asarray(m)
+    conf = jnp.asarray(rng.rand(B).astype(np.float32) + 0.5) if with_conf else None
+    return TaskBatch(
+        src_tokens=jnp.asarray(src),
+        prev_output_tokens=jnp.asarray(prev),
+        target=jnp.asarray(tgt),
+        constraint_masks=cm,
+        conf=conf,
+    )
+
+
+@pytest.mark.parametrize("rdrop,dropw", [(False, 0.0), (True, 0.3)])
+def test_packed_text_loss_matches_unpacked(rdrop, dropw):
+    """Same-shape text tasks fused into ONE forward (SURVEY §7 packing) must
+    reproduce the sequential per-task losses exactly: drop-worst ranking,
+    R-Drop halves and ntokens all stay within each task's segment."""
+    from musketeer_tpu.training.train_step import multitask_loss
+
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    crit = CriterionConfig(
+        label_smoothing=0.1, use_rdrop=rdrop,
+        drop_worst_ratio=dropw, drop_worst_after=0,
+    )
+    # three packable (same-shape, cm-less) + two packable with cm + one
+    # vision-less odd-shaped task that must stay single
+    batches = {
+        "gigaword": _text_batch_cm(cfg, seed=1),
+        "text_infilling": _text_batch_cm(cfg, seed=2),
+        "mrpc": _text_batch_cm(cfg, seed=3),
+        "cola": _text_batch_cm(cfg, Ts=10, Tt=4, seed=4, with_cm=True),
+        "sst2": _text_batch_cm(cfg, Ts=10, Tt=4, seed=5, with_cm=True, with_conf=True),
+        "odd": _text_batch_cm(cfg, Ts=12, Tt=3, seed=6),
+    }
+    up = jnp.int32(5)
+    t_pack, m_pack = multitask_loss(
+        params, cfg, crit, batches, None, up, pack_text=True
+    )
+    t_seq, m_seq = multitask_loss(
+        params, cfg, crit, batches, None, up, pack_text=False
+    )
+    np.testing.assert_allclose(float(t_pack), float(t_seq), rtol=2e-5)
+    for k in m_seq:
+        np.testing.assert_allclose(
+            float(m_pack[k]), float(m_seq[k]), rtol=2e-5, err_msg=k
+        )
