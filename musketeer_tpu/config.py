@@ -87,6 +87,10 @@ class ModelConfig:
     # Falls back to XLA attention when preconditions don't hold (dropout,
     # per-sample patch subsampling, per-sample code_masks).
     use_flash_attention: bool = False
+    # numerics-gated fast softmax in the Pallas kernels: skip the
+    # max-subtract pass (safe while |attention logits| < ~80; validated by
+    # tests/test_flash_attention.py on real-scale activations)
+    flash_skip_max_subtract: bool = False
     # GPipe pipeline parallelism over the mesh 'pipe' axis: encoder/decoder
     # layer stacks run as P stages with this many microbatches (0 = off;
     # requires use_flash_attention, a 'pipe' mesh axis, and B % M == 0)

@@ -307,7 +307,8 @@ def _flash_self_attn(
     v = _split_heads(_linear(p["v_proj"], x), H)
     out = flash_attention_bias_trainable(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
-        rel.astype(q.dtype), kpad, causal,
+        rel.astype(q.dtype), kpad, causal, 128, False, True,
+        cfg.flash_skip_max_subtract,
     )
     out = _merge_heads(out)
     if "c_attn" in p:
@@ -334,6 +335,7 @@ def _flash_cross_attn(
     out = flash_attention_bias_trainable(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
         rel0, kpad, False, 128, False, False,
+        cfg.flash_skip_max_subtract,
     )
     out = _merge_heads(out)
     if "c_attn" in p:

@@ -36,7 +36,8 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
-                o_ref, lse_ref, *, causal, block_q, block_b):
+                o_ref, lse_ref, *, causal, block_q, block_b,
+                skip_max=False):
     # Two fusions over the naive layout:
     # - batch-chunked grid cell: refs carry ``block_b`` batch rows so the
     #   [block_q, S] rel block — identical for every batch element — is
@@ -62,10 +63,21 @@ def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
         # break Mosaic's sublane-multiple-of-8 rule); row-index it here
         pad = kpad_ref[pl.program_id(0) * block_b + c, :] != 0
         w = jnp.where(pad[None, :], NEG_INF, w)
-        m = jnp.max(w, axis=-1, keepdims=True)
-        e = jnp.exp(w - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        lse_ref[c] = (m + jnp.log(denom)).astype(jnp.float32)
+        if skip_max:
+            # numerics-gated fast softmax: drop the max-subtract pass (one
+            # fewer full-width [bq, S] reduce + subtract on the VPU-bound
+            # path). Safe while |logits| < ~80 (fp32 exp overflow at 88);
+            # OFA's scaled logits sit well inside that — gated by
+            # ModelConfig.flash_skip_max_subtract + a numerics test.
+            # exp(NEG_INF pad cols) underflows to exactly 0.
+            e = jnp.exp(w)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            lse_ref[c] = jnp.log(denom).astype(jnp.float32)
+        else:
+            m = jnp.max(w, axis=-1, keepdims=True)
+            e = jnp.exp(w - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            lse_ref[c] = (m + jnp.log(denom)).astype(jnp.float32)
         # normalize AFTER the AV dot: the division runs over [bq, D]
         # instead of [bq, S] — one fewer full-width VPU pass (the kernel
         # is VPU-bound; the MXU dots are <40% of its wall time)
@@ -183,7 +195,8 @@ def _pad_all(q, k, v, pq, pk, rel, kpad, block_q):
     return q, k, v, pq, pk, rel, kpad, Tp, Sp, Dp
 
 
-def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4):
+def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
+         skip_max=False):
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, T, D = q.shape
     S = k.shape[2]
@@ -209,7 +222,8 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4):
     grid = (Bp // BC, H, Tp // block_q)
     o, lse = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, causal=causal, block_q=block_q, block_b=BC
+            _fwd_kernel, causal=causal, block_q=block_q, block_b=BC,
+            skip_max=skip_max,
         ),
         grid=grid,
         in_specs=[
@@ -319,26 +333,36 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def flash_attention_bias_trainable(
     q, k, v, pos_q, pos_k, rel, kpad,
     causal: bool = False, block_q: int = 128, interpret: bool = False,
-    need_drel: bool = True,
+    need_drel: bool = True, skip_max: bool = False,
 ):
     """Differentiable Pallas attention with decomposed bias.
 
     Supports self (T==S, optional causal) and cross (T != S, rel usually
-    zeros with need_drel=False) attention."""
-    o, _ = _fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret)
+    zeros with need_drel=False) attention. ``skip_max`` drops the softmax
+    max-subtract pass (numerics-gated; see _fwd_kernel)."""
+    o, _ = _fwd(
+        q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret,
+        skip_max=skip_max,
+    )
     return o
 
 
-def _vjp_fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret, need_drel):
-    o, lse = _fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret)
+def _vjp_fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret,
+             need_drel, skip_max):
+    o, lse = _fwd(
+        q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret,
+        skip_max=skip_max,
+    )
     return o, (q, k, v, pos_q, pos_k, rel, kpad, o, lse)
 
 
-def _vjp_bwd(causal, block_q, interpret, need_drel, res, do):
+def _vjp_bwd(causal, block_q, interpret, need_drel, skip_max, res, do):
+    # lse is the same mathematical value either way; the backward recompute
+    # p = exp(w − lse) never overflows, so it is skip_max-agnostic
     q, k, v, pos_q, pos_k, rel, kpad, o, lse = res
     dq, dk, dv, dpq, dpk, drel = _bwd(
         q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret, need_drel,

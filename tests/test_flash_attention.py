@@ -101,3 +101,44 @@ def test_model_flash_grads_match_naive():
     assert float(jnp.abs(flat1 - flat2).max()) < 5e-4 * max(scale, 1.0), (
         float(jnp.abs(flat1 - flat2).max()), scale
     )
+
+
+def test_skip_max_subtract_numerics():
+    """Gated fast softmax (no max-subtract): outputs must match the safe
+    kernel to bf16 tolerance on REAL-SCALE activations (logit magnitudes
+    like OFA's scaled q·k + rel bias, tens not hundreds)."""
+    from musketeer_tpu.ops.flash_attention_bwd import (
+        flash_attention_bias_trainable,
+    )
+
+    rng = np.random.RandomState(0)
+    B, H, S, D = 2, 4, 160, 64
+    # scale so logits land in the realistic ±30 band
+    mk = lambda: jnp.asarray(rng.randn(B, H, S, D) * 0.6, jnp.float32)
+    q, k, v, pq, pk = mk(), mk(), mk(), mk(), mk()
+    rel = jnp.asarray(rng.randn(H, S, S) * 2.0, jnp.float32)
+    kpad = jnp.zeros((B, S), bool).at[:, -7:].set(True)
+
+    for causal in (False, True):
+        safe = flash_attention_bias_trainable(
+            q, k, v, pq, pk, rel, kpad, causal, 128, False, True, False
+        )
+        fast = flash_attention_bias_trainable(
+            q, k, v, pq, pk, rel, kpad, causal, 128, False, True, True
+        )
+        err = float(jnp.max(jnp.abs(safe - fast)))
+        assert err <= 1e-2, err  # bf16-class drift bound (VERDICT r2 gate)
+        # gradients flow identically (bwd is skip_max-agnostic)
+        g_safe = jax.grad(
+            lambda q_: flash_attention_bias_trainable(
+                q_, k, v, pq, pk, rel, kpad, causal, 128, False, True, False
+            ).sum()
+        )(q)
+        g_fast = jax.grad(
+            lambda q_: flash_attention_bias_trainable(
+                q_, k, v, pq, pk, rel, kpad, causal, 128, False, True, True
+            ).sum()
+        )(q)
+        np.testing.assert_allclose(
+            np.asarray(g_safe), np.asarray(g_fast), atol=1e-2
+        )
