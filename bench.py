@@ -35,6 +35,129 @@ REFERENCE_SAMPLES_PER_SEC = 2.4  # anchor; see docstring
 V5E_BF16_PEAK_FLOPS = 197e12  # v5e per-chip bf16 peak (public spec)
 
 
+def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
+    """Time the full 9-task joint train step (fwd+bwd+adam) at the reference
+    training envelope, plus a 7-GLUE packed-vs-sequential ablation.
+
+    ``img_size``/``B``/``scale`` shrink the shapes for CPU smoke tests;
+    defaults are the reference envelope (480² patches, batch 2/task,
+    run_scripts/musketeer/train_musketeer.sh:51-79).
+    Returns a dict of metrics merged into the headline JSON line."""
+    import jax
+    import jax.numpy as jnp
+    from musketeer_tpu.config import CriterionConfig, OptimConfig
+    from musketeer_tpu.training import init_train_state, make_train_step
+    from musketeer_tpu.training.train_step import TaskBatch
+
+    rs = np.random.RandomState(0)
+    Vp = cfg.padded_vocab_size
+    hi = min(50000, cfg.vocab_size - 1)
+    grid = (img_size // 16) ** 2
+    L = lambda n: max(3, int(round(n * scale)))
+
+    def tb(B, Ts, Tt, img=False, cm=False, conf=None, code=False, spn=None):
+        Ts, Tt = L(Ts), L(Tt)
+        tgt = rs.randint(4, hi, (B, Tt)).astype(np.int32)
+        tgt[:, -1] = cfg.eos
+        prev = np.roll(tgt, 1, 1)
+        prev[:, 0] = cfg.bos
+        cmask = None
+        if cm:
+            m = rs.rand(B, Tt, Vp) < 0.02
+            m[np.arange(B)[:, None], np.arange(Tt)[None], tgt] = True
+            cmask = m
+        order = None
+        if spn:
+            spn = min(spn, grid)
+            order = np.stack(
+                [rs.permutation(grid)[:spn] for _ in range(B)]
+            ).astype(np.int32)
+        add = lambda a: None if a is None else jnp.asarray(a)[None]  # accum=1
+        return TaskBatch(
+            src_tokens=add(rs.randint(4, hi, (B, Ts)).astype(np.int32)),
+            prev_output_tokens=add(prev),
+            target=add(tgt),
+            patch_images=add(
+                rs.rand(B, img_size, img_size, 3).astype(np.float32)
+                if img else None
+            ),
+            patch_masks=add(np.ones(B, bool) if img else None),
+            constraint_masks=add(cmask),
+            conf=add(np.full(B, conf, np.float32) if conf else None),
+            code_masks=add(np.ones(B, bool) if code else None),
+            sample_patch_order=add(order),
+        )
+
+    batches = {
+        "caption": tb(B, 80, 20, img=True, spn=196),
+        "refcoco": tb(B, 80, 5, img=True),
+        "vqa_gen": tb(B, 90, 90, img=True, cm=True),
+        "snli_ve": tb(B, 90, 90, img=True, cm=True),
+        "image_classify": tb(B, 70, 72, img=True, cm=True),
+        "image_gen": tb(B, 40, 1026, code=True),
+        "detection": tb(B, 70, 30, img=True, conf=2.0),
+        "gigaword": tb(B, 512, 32),
+        "text_infilling": tb(B, 512, 32),  # packs with gigaword
+    }
+    crit = CriterionConfig(
+        label_smoothing=0.1, use_rdrop=True,
+        drop_worst_ratio=0.2, drop_worst_after=6000,
+    )
+    optim = OptimConfig(lr=1e-4, warmup_updates=1000, total_updates=30000)
+    state = init_train_state(params, optim)
+    state = state._replace(step=jnp.int32(7000))  # drop-worst active regime
+    step_fn = make_train_step(cfg, crit, optim, donate=False)
+
+    def timed_step(fn, st, bt, iters=iters, reps=2):
+        fn(st, bt, jax.random.PRNGKey(0))[1]["loss"].block_until_ready()
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(iters):
+                _, out = fn(st, bt, jax.random.PRNGKey(r * 97 + i))
+            np.asarray(out["loss"])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    joint_s = timed_step(step_fn, state, batches)
+    out = {
+        "joint_train_step_ms": round(joint_s * 1000.0, 1),
+        "joint_train_samples_per_sec": round(9 * B / joint_s, 1),
+    }
+    try:
+        ca = (
+            step_fn.lower(state, batches, jax.random.PRNGKey(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            out["joint_train_mfu_vs_v5e_peak"] = round(
+                flops / joint_s / V5E_BF16_PEAK_FLOPS, 4
+            )
+            out["joint_train_tflops_per_step"] = round(flops / 1e12, 2)
+    except Exception:
+        pass
+
+    # ---- packing ablation: 7 GLUE-bucket text tasks, one packed forward vs
+    # seven sequential forwards (same batches, same step fn semantics)
+    glue = {
+        name: tb(B, 120, 4, cm=True)
+        for name in ("cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli")
+    }
+    fn_pack = make_train_step(cfg, crit, optim, donate=False, pack_text=True)
+    fn_seq = make_train_step(cfg, crit, optim, donate=False, pack_text=False)
+    pack_s = timed_step(fn_pack, state, glue)
+    seq_s = timed_step(fn_seq, state, glue)
+    out["glue7_packed_step_ms"] = round(pack_s * 1000.0, 1)
+    out["glue7_sequential_step_ms"] = round(seq_s * 1000.0, 1)
+    out["glue7_pack_speedup"] = round(seq_s / pack_s, 2)
+    return out
+
+
 def main():
     import jax
 
@@ -89,9 +212,32 @@ def main():
         enc = ofa.encode(params, cfg, src, imgs + i, masks)
         return enc.x.astype(jnp.float32).mean(axis=(1, 2))
 
+    @jax.jit
+    def run_resnet(params, src, imgs, masks, i):
+        from musketeer_tpu.models.resnet import resnet_forward
+
+        feats = resnet_forward(
+            params["encoder"]["resnet"], (imgs + i).astype(jnp.bfloat16)
+        )
+        return feats.astype(jnp.float32).mean(axis=(1, 2, 3))
+
     full_s = timed(run, params, src, imgs, masks)
     enc_s = timed(run_encoder, params, src, imgs, masks)
+    resnet_s = timed(run_resnet, params, src, imgs, masks)
     decode_s = max(full_s - enc_s, 0.0)
+    # decode steps = while_loop iterations 0..max_len inclusive
+    n_decode_steps = gen_cfg.max_len_b + 1
+
+    # mixed-length sources (pad-variance honesty check: real TSV batches are
+    # not uniform prompts; same padded width, varying real lengths)
+    rng_m = np.random.RandomState(2)
+    src_mixed = np.asarray(src).copy()
+    for b in range(B):
+        keep = 4 + rng_m.randint(0, src_mixed.shape[1] - 4)
+        src_mixed[b, keep:] = 1  # pad id
+    src_mixed = jnp.asarray(src_mixed)
+    mixed_s = timed(run, params, src_mixed, imgs, masks)
+    mixed_sps = B / mixed_s
 
     samples_per_sec = B / full_s
     p50_latency_ms = full_s * 1000.0
@@ -117,7 +263,17 @@ def main():
     kv_s = timed(run_kv, params_q, src, imgs, masks)
     kv_sps = B / kv_s
 
-    # ---- MFU from XLA cost analysis (model FLOPs / wall / peak)
+    # ---- gated fast softmax (skip max-subtract) encoder variant
+    # (VERDICT r2 #3: the encoder flash kernel is VPU-bound on softmax;
+    # numerics gate = tests/test_flash_attention.py::test_skip_max_subtract)
+    cfg_sm = replace(cfg, flash_skip_max_subtract=True)
+
+    @jax.jit
+    def run_encoder_sm(params, src, imgs, masks, i):
+        enc = ofa.encode(params, cfg_sm, src, imgs + i, masks)
+        return enc.x.astype(jnp.float32).mean(axis=(1, 2))
+
+    enc_sm_s = timed(run_encoder_sm, params, src, imgs, masks)
     mfu = flops_per_sample = None
     try:
         ca = run.lower(
@@ -174,6 +330,14 @@ def main():
     )
     train_sps = Bt / train_s
 
+    # ---- 9-task joint train step (the flagship capability; VERDICT r2 #1).
+    # Reference envelope (run_scripts/musketeer/train_musketeer.sh:51-79):
+    # batch 2/task, 480² patches, label_smoothing 0.1, R-Drop on, drop-worst
+    # 0.2 after 6k updates, sample_patch_num=196 on the head (caption) batch.
+    # Text tasks sharing the 512/32 bucket (gigaword + text_infilling) run as
+    # ONE packed forward (SURVEY §7 packing).
+    joint = bench_joint_train(params, cfg)
+
     best = max(samples_per_sec, int8_sps, kv_sps)
     print(
         json.dumps(
@@ -189,9 +353,16 @@ def main():
                 "b32_int8_samples_per_sec": round(b32_sps, 1),
                 "train_fwd_bwd_samples_per_sec": round(train_sps, 1),
                 "train_step_ms_b8": round(train_s * 1000.0, 1),
+                "mixed_len_samples_per_sec": round(mixed_sps, 1),
                 "encoder_ms": round(enc_s * 1000.0, 1),
+                "encoder_skipmax_ms": round(enc_sm_s * 1000.0, 1),
+                "resnet_ms": round(resnet_s * 1000.0, 1),
+                "encoder_layers_ms": round((enc_s - resnet_s) * 1000.0, 1),
                 "decode_loop_ms": round(decode_s * 1000.0, 1),
-                "decode_ms_per_step": round(decode_s / 17 * 1000.0, 2),
+                "decode_ms_per_step": round(
+                    decode_s / n_decode_steps * 1000.0, 2
+                ),
+                **joint,
                 "mfu_vs_v5e_peak": round(mfu, 4) if mfu else None,
                 "gflops_per_sample": round(flops_per_sample / 1e9, 1)
                 if flops_per_sample
