@@ -525,8 +525,14 @@ def encode(
     rngs: Optional[jax.Array] = None,
     deterministic: bool = True,
     train_bn: bool = False,
+    resnet_feats: Optional[jnp.ndarray] = None,  # [B, h, w, C] precomputed
 ) -> EncoderOut:
-    """Joint image+text encoder forward (ref: unify_transformer.py:819-966)."""
+    """Joint image+text encoder forward (ref: unify_transformer.py:819-966).
+
+    ``resnet_feats`` bypasses the ResNet stem with precomputed feature maps —
+    the joint-train vision-stem packing runs ONE concatenated ResNet pass
+    for all vision tasks and feeds each task its slice (see
+    training.train_step.multitask_loss)."""
     enc = params["encoder"]
     B, T = src_tokens.shape
     dtype = jnp.dtype(cfg.dtype)
@@ -543,9 +549,14 @@ def encode(
         enc["embed_positions"][jnp.arange(T)][None], (B, T, cfg.embed_dim)
     )
 
-    if patch_images is not None:
+    if patch_images is not None or resnet_feats is not None:
         # ---- image branch
-        feats = resnet_forward(enc["resnet"], patch_images.astype(dtype), train=train_bn)
+        if resnet_feats is not None:
+            feats = resnet_feats.astype(dtype)
+        else:
+            feats = resnet_forward(
+                enc["resnet"], patch_images.astype(dtype), train=train_bn
+            )
         Bi, h, w, _ = feats.shape
         image_embed = feats.reshape(Bi, h * w, -1)
         image_pos_ids = jnp.asarray(
@@ -1277,12 +1288,14 @@ def forward(
     rngs: Optional[jax.Array] = None,
     deterministic: bool = True,
     train_bn: bool = False,
+    resnet_feats: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full model forward → logits (ref: models/ofa/ofa.py:80-97)."""
     enc_out = encode(
         params, cfg, src_tokens, patch_images, patch_masks,
         sample_patch_order=sample_patch_order,
         rngs=rngs, deterministic=deterministic, train_bn=train_bn,
+        resnet_feats=resnet_feats,
     )
     return decode(
         params, cfg, prev_output_tokens, enc_out, code_masks=code_masks,

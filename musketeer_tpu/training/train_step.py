@@ -40,6 +40,9 @@ class TaskBatch(NamedTuple):
     code_masks: Optional[jnp.ndarray] = None  # [..., B]
     # training-time patch subsampling order (host-sampled; ref sample_patch_num)
     sample_patch_order: Optional[jnp.ndarray] = None  # [..., B, P]
+    # precomputed ResNet feature maps (vision-stem packing; set inside the
+    # jitted step, never by the loader)
+    resnet_feats: Optional[jnp.ndarray] = None  # [..., B, h, w, C]
 
 
 def task_loss(
@@ -67,6 +70,7 @@ def task_loss(
         rngs=rng,
         deterministic=not train,
         train_bn=False,  # frozen BN stats (ref FrozenBatchNorm eval-parity path)
+        resnet_feats=batch.resnet_feats,
     )
     out = label_smoothed_ce(
         logits,
@@ -101,6 +105,7 @@ def _pack_key(batch: TaskBatch):
         or batch.patch_masks is not None
         or batch.code_masks is not None
         or batch.sample_patch_order is not None
+        or batch.resnet_feats is not None
     ):
         return None
     return (
@@ -204,6 +209,44 @@ def packed_text_loss(
     return names, outs
 
 
+def _pack_vision_stem(params, model_cfg, batches: Dict[str, TaskBatch]):
+    """ONE ResNet pass for all same-resolution vision batches.
+
+    The stem is task-agnostic (same params, frozen BN), so the per-task
+    [B, H, W, 3] images concatenate into a single conv stream — at the
+    reference envelope that turns 6 batch-2 ResNet-101 calls into one
+    batch-12 call (better MXU utilization, one kernel stream). Each task's
+    feature slice rides in ``TaskBatch.resnet_feats``; gradients are
+    identical (convs are row-independent, R-Drop dups the feats not the
+    conv). Exactness covered by the packed-vs-sequential parity test.
+    """
+    from ..models.resnet import resnet_forward
+
+    groups: Dict[tuple, list] = {}
+    for name, b in batches.items():
+        if b.patch_images is not None and b.resnet_feats is None:
+            groups.setdefault(b.patch_images.shape[1:], []).append(name)
+    out = dict(batches)
+    dtype = jnp.dtype(model_cfg.dtype)
+    for shape, names in sorted(groups.items(), key=str):
+        if len(names) < 2:
+            continue
+        imgs = jnp.concatenate(
+            [batches[n].patch_images for n in names], axis=0
+        )
+        feats = resnet_forward(
+            params["encoder"]["resnet"], imgs.astype(dtype), train=False
+        )
+        off = 0
+        for n in names:
+            sz = batches[n].patch_images.shape[0]
+            out[n] = batches[n]._replace(
+                resnet_feats=feats[off : off + sz], patch_images=None
+            )
+            off += sz
+    return out
+
+
 def multitask_loss(
     params,
     model_cfg: ModelConfig,
@@ -212,14 +255,19 @@ def multitask_loss(
     rng: Optional[jax.Array],
     update_num: jnp.ndarray,
     pack_text: bool = True,
+    pack_vision: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Σ_task loss_t / ntokens_t (ref criterion recursion semantics).
 
     ``pack_text=True`` fuses same-shape text-only tasks into one forward
-    (see :func:`packed_text_loss`); vision/code tasks keep per-task
-    forwards (heterogeneous shapes/aux inputs)."""
+    (see :func:`packed_text_loss`); ``pack_vision=True`` fuses all
+    same-resolution vision batches' ResNet stems into one conv pass
+    (:func:`_pack_vision_stem`). Per-task loss semantics are exact in
+    both cases."""
     total = 0.0
     metrics: Dict[str, jnp.ndarray] = {}
+    if pack_vision:
+        batches = _pack_vision_stem(params, model_cfg, batches)
     ordered = sorted(batches.items())
 
     groups: Dict[object, Dict[str, TaskBatch]] = {}
@@ -280,6 +328,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     donate: bool = True,
     pack_text: bool = True,
+    pack_vision: bool = True,
 ):
     """Build the jitted train step.
 
@@ -291,7 +340,7 @@ def make_train_step(
     def loss_fn(params, micro, rng, update_num):
         return multitask_loss(
             params, model_cfg, crit_cfg, micro, rng, update_num,
-            pack_text=pack_text,
+            pack_text=pack_text, pack_vision=pack_vision,
         )
 
     def step(state: TrainState, batches: Dict[str, TaskBatch], rng: jax.Array):

@@ -359,8 +359,17 @@ def test_packed_text_loss_matches_unpacked(rdrop, dropw):
         label_smoothing=0.1, use_rdrop=rdrop,
         drop_worst_ratio=dropw, drop_worst_after=0,
     )
+    def vision_batch(seed):
+        b = _text_batch_cm(cfg, Ts=7, Tt=5, seed=seed)
+        rng = np.random.RandomState(seed + 100)
+        return b._replace(
+            patch_images=jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+            patch_masks=jnp.ones((2,), bool),
+        )
+
     # three packable (same-shape, cm-less) + two packable with cm + one
-    # vision-less odd-shaped task that must stay single
+    # vision-less odd-shaped task that must stay single + two vision tasks
+    # sharing a resolution (vision-stem packing)
     batches = {
         "gigaword": _text_batch_cm(cfg, seed=1),
         "text_infilling": _text_batch_cm(cfg, seed=2),
@@ -368,16 +377,35 @@ def test_packed_text_loss_matches_unpacked(rdrop, dropw):
         "cola": _text_batch_cm(cfg, Ts=10, Tt=4, seed=4, with_cm=True),
         "sst2": _text_batch_cm(cfg, Ts=10, Tt=4, seed=5, with_cm=True, with_conf=True),
         "odd": _text_batch_cm(cfg, Ts=12, Tt=3, seed=6),
+        "caption": vision_batch(7),
+        "refcoco": vision_batch(8),
     }
     up = jnp.int32(5)
     t_pack, m_pack = multitask_loss(
-        params, cfg, crit, batches, None, up, pack_text=True
+        params, cfg, crit, batches, None, up, pack_text=True, pack_vision=True
     )
     t_seq, m_seq = multitask_loss(
-        params, cfg, crit, batches, None, up, pack_text=False
+        params, cfg, crit, batches, None, up, pack_text=False,
+        pack_vision=False,
     )
     np.testing.assert_allclose(float(t_pack), float(t_seq), rtol=2e-5)
     for k in m_seq:
         np.testing.assert_allclose(
             float(m_pack[k]), float(m_seq[k]), rtol=2e-5, err_msg=k
         )
+
+
+def test_metrics_logger_derived():
+    """MetricsLogger derived metrics (ref metrics.log_derived): default ppl
+    from the per-task nll meters + custom registrations."""
+    from musketeer_tpu.training.metrics import MetricsLogger
+
+    m = MetricsLogger()
+    m.log_step(1, {"nll/caption": 2.0, "nll/vqa": 4.0, "loss": 3.0})
+    a = m.averages()
+    assert abs(a["ppl"] - 2.0 ** 3.0) < 1e-6  # mean nll = 3
+    m.log_derived("double_loss", lambda avgs: 2 * avgs.get("loss", 0))
+    assert abs(m.averages()["double_loss"] - 6.0) < 1e-6
+    # derived fns that raise are skipped, not fatal
+    m.log_derived("bad", lambda avgs: avgs["missing_key"])
+    assert "bad" not in m.averages()
