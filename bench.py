@@ -121,9 +121,18 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
         return best
 
     joint_s = timed_step(step_fn, state, batches)
+    # packing ablation on the full 9-task step: text packing (gigaword +
+    # text_infilling bucket) + vision-stem packing (6 vision tasks → ONE
+    # batch-12 ResNet pass) vs the reference's per-task sequential layout
+    step_unpacked = make_train_step(
+        cfg, crit, optim, donate=False, pack_text=False, pack_vision=False
+    )
+    joint_unpacked_s = timed_step(step_unpacked, state, batches)
     out = {
         "joint_train_step_ms": round(joint_s * 1000.0, 1),
         "joint_train_samples_per_sec": round(9 * B / joint_s, 1),
+        "joint_unpacked_step_ms": round(joint_unpacked_s * 1000.0, 1),
+        "joint_pack_speedup": round(joint_unpacked_s / joint_s, 2),
     }
     try:
         ca = (

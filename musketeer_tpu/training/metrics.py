@@ -38,7 +38,13 @@ class SmoothedMeter:
 
 
 class MetricsLogger:
-    """Scalar aggregation + optional TensorBoard writer + ups/wps meters."""
+    """Scalar aggregation + optional TensorBoard writer + ups/wps meters.
+
+    Derived metrics (the reference's ``metrics.log_derived``,
+    ref: train.py:284-309, tasks log_derived ppl/cider): register a name +
+    fn over the averages dict with :meth:`log_derived`; defaults cover
+    perplexity from nll and wall-clock ups.
+    """
 
     def __init__(self, tb_dir: Optional[str] = None):
         self.meters: Dict[str, SmoothedMeter] = defaultdict(SmoothedMeter)
@@ -52,6 +58,20 @@ class MetricsLogger:
                 self._writer = None
         self._t0 = time.time()
         self._last_step = 0
+        self._derived: Dict[str, object] = {}
+        # fairseq-style defaults: ppl = 2^nll (ref: utils.get_perplexity),
+        # over the mean of the per-task nll meters the train step emits
+        def _ppl(a):
+            nlls = [v for k, v in a.items() if k == "nll" or k.startswith("nll/")]
+            if not nlls:
+                return None
+            return float(2.0 ** min(sum(nlls) / len(nlls), 30.0))
+
+        self.log_derived("ppl", _ppl)
+
+    def log_derived(self, name: str, fn):
+        """Register a derived metric: fn(averages_dict) -> float | None."""
+        self._derived[name] = fn
 
     def update(self, values: Dict[str, float], n: int = 1):
         for k, v in values.items():
@@ -70,9 +90,26 @@ class MetricsLogger:
             with self._writer.as_default():
                 for k, v in values.items():
                     tf.summary.scalar(k, float(v), step=step)
+                for k, v in self._eval_derived().items():
+                    tf.summary.scalar(k, v, step=step)
+
+    def _eval_derived(self) -> Dict[str, float]:
+        avgs = {k: m.avg for k, m in self.meters.items()}
+        out = {}
+        for name, fn in self._derived.items():
+            try:
+                v = fn(avgs)
+            except Exception:
+                v = None
+            if v is not None:
+                out[name] = float(v)
+        return out
 
     def averages(self) -> Dict[str, float]:
-        return {k: m.avg for k, m in self.meters.items()}
+        return {
+            **{k: m.avg for k, m in self.meters.items()},
+            **self._eval_derived(),
+        }
 
     def reset(self):
         for m in self.meters.values():

@@ -57,10 +57,20 @@ def train_loop(
     max_epoch: Optional[int] = None,
     on_metrics: Optional[Callable[[int, Dict[str, float]], None]] = None,
     resume: bool = True,
+    tb_dir: Optional[str] = None,
 ) -> TrainState:
     step_fn = make_train_step(
         model_cfg, cfg.criterion, cfg.optim, ema_decay=cfg.ema_decay, donate=True
     )
+    # meter tree + TensorBoard + derived metrics (ppl, ups); defaults to
+    # <save_dir>/tb when saving (ref: train.py:284-309 progress/TB logging)
+    from .metrics import MetricsLogger
+
+    if tb_dir is None and save_dir is not None:
+        import os as _os
+
+        tb_dir = _os.path.join(save_dir, "tb")
+    mlog = MetricsLogger(tb_dir)
     stopper = EarlyStopper(cfg.patience, cfg.maximize_best_checkpoint_metric)
     ckpt_mgr = (
         CheckpointManager(
@@ -142,13 +152,18 @@ def train_loop(
             if (n_steps - skip_steps) % log_interval == 0:
                 loss = float(metrics["loss"])
                 ups = (n_steps - skip_steps) / (time.time() - t0)
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                mlog.log_step(num_updates, host_metrics)
+                ppl = mlog.averages().get("ppl")
                 logger.info(
-                    "epoch %d step %d updates %d loss %.4f gnorm %.3f ups %.2f",
+                    "epoch %d step %d updates %d loss %.4f gnorm %.3f "
+                    "ups %.2f%s",
                     epoch, n_steps, num_updates, loss,
                     float(metrics["gnorm"]), ups,
+                    f" ppl {ppl:.2f}" if ppl is not None else "",
                 )
                 if on_metrics is not None:
-                    on_metrics(num_updates, {k: float(v) for k, v in metrics.items()})
+                    on_metrics(num_updates, host_metrics)
             # mid-epoch validate / save on update intervals
             # (ref: train.py:366-433 validate_and_save)
             iv_val = (
