@@ -94,7 +94,7 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
         "vqa_gen": tb(B, 90, 90, img=True, cm=True),
         "snli_ve": tb(B, 90, 90, img=True, cm=True),
         "image_classify": tb(B, 70, 72, img=True, cm=True),
-        "image_gen": tb(B, 40, 1026, code=True),
+        "image_gen": tb(B, 40, 1025, code=True),  # 1024 codes + eos (ref image_gen_dataset)
         "detection": tb(B, 70, 30, img=True, conf=2.0),
         "gigaword": tb(B, 512, 32),
         "text_infilling": tb(B, 512, 32),  # packs with gigaword

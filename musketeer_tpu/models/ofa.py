@@ -869,10 +869,19 @@ def _decoder_embed(
 
 
 def _decoder_rel_bias(params, cfg, T: int, code_masks):
-    """Per-layer self-attn rel bias [L, H, T, T] (token and/or image variant)."""
+    """Per-layer self-attn rel bias [L, H, T, T] (token and/or image variant).
+
+    The bucket grid extends past max_target_positions when T exceeds it
+    (bucket values saturate with distance, so a bigger grid is the same
+    function): image-gen targets are 1024 codes + bos/eos = 1025 > 1024,
+    and the reference only dodges this because its all-code batches never
+    touch the token table (unify_transformer.py:1520-1526) — ours is built
+    unconditionally for the mixed-batch where()."""
     dec = params["decoder"]
     token_rp = jnp.asarray(
-        pos_lib.make_token_bucket_position(cfg.token_bucket_size, cfg.max_target_positions)
+        pos_lib.make_token_bucket_position(
+            cfg.token_bucket_size, max(cfg.max_target_positions, T)
+        )
     )[:T, :T]
     rel_tok = dec["token_rel_pos_table"][:, token_rp]  # [L, T, T, H]
     rel_tok = rel_tok.transpose(0, 3, 1, 2)  # [L, H, T, T]

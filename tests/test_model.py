@@ -310,3 +310,25 @@ def test_encode_interpolate_position():
     cfg0 = tiny_cfg(interpolate_position=False, orig_patch_image_size=32)
     enc0 = ofa.encode(params, cfg0, src, imgs, masks)
     assert not np.allclose(np.asarray(enc.x), np.asarray(enc0.x))
+
+
+def test_full_length_image_gen_target():
+    """Image-gen targets are 1024 codes + bos/eos = max_target_positions + 1;
+    the decoder must handle T > max_target_positions for code batches (the
+    token bucket grid extends; ref all-code batches skip the token table,
+    unify_transformer.py:1520-1526)."""
+    from dataclasses import replace
+
+    cfg = tiny_cfg()
+    cfg = replace(cfg, max_target_positions=32, code_image_size=48,
+                  image_bucket_size=8)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    B, T = 1, 33  # max_target_positions + 1
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randint(4, 100, (B, 6)), jnp.int32)
+    prev = jnp.asarray(rng.randint(4, 100, (B, T)), jnp.int32)
+    logits = ofa.forward(
+        params, cfg, src, prev, code_masks=jnp.ones((B,), bool)
+    )
+    assert logits.shape == (B, T, cfg.padded_vocab_size)
+    assert not bool(jnp.any(jnp.isnan(logits)))
