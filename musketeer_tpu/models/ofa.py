@@ -883,8 +883,7 @@ def _decoder_rel_bias(params, cfg, T: int, code_masks):
             cfg.token_bucket_size, max(cfg.max_target_positions, T)
         )
     )[:T, :T]
-    rel_tok = dec["token_rel_pos_table"][:, token_rp]  # [L, T, T, H]
-    rel_tok = rel_tok.transpose(0, 3, 1, 2)  # [L, H, T, T]
+    rel_tok = _rel_gather(dec["token_rel_pos_table"], token_rp)
     if code_masks is None:
         return rel_tok, None
     img_idx = jnp.asarray(
@@ -896,8 +895,24 @@ def _decoder_rel_bias(params, cfg, T: int, code_masks):
         pos_lib.make_image_bucket_position(cfg.image_bucket_size, cfg.image_num_rel_dis)
     )
     image_rp = image_rp_full[img_idx[:, None], img_idx[None, :]]  # [T, T]
-    rel_img = dec["image_rel_pos_table"][:, image_rp].transpose(0, 3, 1, 2)
+    rel_img = _rel_gather(dec["image_rel_pos_table"], image_rp)
     return rel_tok, rel_img
+
+
+def _rel_gather(table: jnp.ndarray, rp: jnp.ndarray) -> jnp.ndarray:
+    """table [L, Vb, H] gathered by bucket ids rp [T, T] → [L, H, T, T].
+
+    Gathers through a lane-dense [Vb, L·H] view: the naive
+    ``table[:, rp].transpose`` materializes a [T², L, H] intermediate whose
+    (L, H) trailing dims pad to the (8, 128) tile — a 14× memory expansion
+    (4 GB at T=1025, the image-gen target length; seen as the top HBM
+    allocation in the joint-step OOM). The dense view pads 72→128 lanes
+    once instead.
+    """
+    L, Vb, H = table.shape
+    T = rp.shape[0]
+    flat = table.transpose(1, 0, 2).reshape(Vb, L * H)[rp.reshape(-1)]
+    return flat.reshape(T, T, L, H).transpose(2, 3, 0, 1)
 
 
 def _decoder_layer(
@@ -1056,10 +1071,18 @@ def decode(
     rngs: Optional[jax.Array] = None,
     deterministic: bool = True,
     features_only: bool = False,
+    code_masks_all: bool = False,  # STATIC: every row is a code sequence
 ) -> jnp.ndarray:
     """Teacher-forced decoder forward → logits [B, T, V].
 
     ref: unify_transformer.py:1393-1583.
+
+    ``code_masks_all=True`` is a static promise that ``code_masks`` is
+    all-True (image-gen / pure-image batches are always homogeneous) — the
+    equivalent of the reference's runtime ``code_masks.all()`` branch
+    (unify_transformer.py:1520-1526). It keeps the Pallas flash path
+    usable for full-length (1025-token) code targets, whose [B, H, T, T]
+    materialized-bias XLA path needs >20 GB of HBM.
     """
     B, T = prev_output_tokens.shape
     dtype = jnp.dtype(cfg.dtype)
@@ -1067,7 +1090,7 @@ def decode(
 
     use_flash = (
         cfg.use_flash_attention
-        and code_masks is None
+        and (code_masks is None or code_masks_all)
         and not cfg.decoder_prompt
         and (deterministic or cfg.attention_dropout == 0.0)
     )
@@ -1090,9 +1113,23 @@ def decode(
     enc_pad = encoder_out.padding_mask
 
     if use_flash:
-        tok_pos = dec["embed_positions"][jnp.arange(T)][None]
-        tgt_pos_embed = jnp.broadcast_to(tok_pos, (B, T, cfg.embed_dim))
-        pe = _layer_norm(dec["pos_ln"], tgt_pos_embed.astype(dtype))
+        all_code = code_masks is not None  # static (code_masks_all checked)
+        if all_code:
+            # all-code positions: image grid pos embeds + image_pos_ln
+            # (ref: unify_transformer.py:1451-1465 all-code branch)
+            img_idx = jnp.asarray(
+                pos_lib.decoder_image_position_idx(
+                    cfg.code_image_size, cfg.image_bucket_size,
+                    cfg.max_target_positions,
+                )
+            )[:T]
+            pos_e = dec["embed_image_positions"][img_idx][None]
+            tgt_pos_embed = jnp.broadcast_to(pos_e, (B, T, cfg.embed_dim))
+            pe = _layer_norm(dec["image_pos_ln"], tgt_pos_embed.astype(dtype))
+        else:
+            tok_pos = dec["embed_positions"][jnp.arange(T)][None]
+            tgt_pos_embed = jnp.broadcast_to(tok_pos, (B, T, cfg.embed_dim))
+            pe = _layer_norm(dec["pos_ln"], tgt_pos_embed.astype(dtype))
         pos_q = _pos_proj(dec["self_pos_q_linear"], pe, cfg, True, dtype)
         pos_k = _pos_proj(dec["self_pos_k_linear"], pe, cfg, False, dtype)
         cross_pos_q = _pos_proj(dec["cross_pos_q_linear"], pe, cfg, True, dtype)
@@ -1100,24 +1137,28 @@ def decode(
             dec["cross_pos_k_linear"], encoder_out.pos_embed, cfg, False, dtype
         )
         x = _decoder_embed(
-            params, cfg, prev_output_tokens, tgt_pos_embed, None, dtype,
+            params, cfg, prev_output_tokens, tgt_pos_embed,
+            code_masks if all_code else None, dtype,
             rngs=rngs, deterministic=deterministic,
         )
-        rel_tok, _ = _decoder_rel_bias(params, cfg, T, None)
+        rel_tok, rel_img = _decoder_rel_bias(
+            params, cfg, T, code_masks if all_code else None
+        )
+        rel_flash = (rel_img if all_code else rel_tok).astype(dtype)
 
         def layer_body(x, layer_in):
             layer_p, rt, dp_rate = layer_in
             fwd = lambda xx: _decoder_layer(
                 layer_p, cfg, xx, None, None, enc_x, enc_pad, self_pad,
                 causal_offset=None, rngs=rngs, deterministic=deterministic,
-                flash=(pos_q, pos_k, rt.astype(jnp.float32), cross_pos_q, cross_pos_k),
+                flash=(pos_q, pos_k, rt, cross_pos_q, cross_pos_k),
                 drop_path_rate=dp_rate if dec_dp else None,
             )[0]
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
             return fwd(x), None
 
-        xs = (dec["layers"], rel_tok, _dec_dpr(cfg))
+        xs = (dec["layers"], rel_flash, _dec_dpr(cfg))
     else:
         tgt_pos_embed, self_bias, cross_bias = _decoder_pos_setup(
             params, cfg, B, T, encoder_out.pos_embed, code_masks, dtype
@@ -1163,7 +1204,7 @@ def decode(
     )
     pipe_mesh = (
         _active_pipe_mesh(cfg)
-        if (use_flash and (rngs is None or _no_reg_dec))
+        if (use_flash and code_masks is None and (rngs is None or _no_reg_dec))
         else None
     )
     if pipe_mesh is not None:
@@ -1298,6 +1339,7 @@ def forward(
     deterministic: bool = True,
     train_bn: bool = False,
     resnet_feats: Optional[jnp.ndarray] = None,
+    code_masks_all: bool = False,
 ) -> jnp.ndarray:
     """Full model forward → logits (ref: models/ofa/ofa.py:80-97)."""
     enc_out = encode(
@@ -1309,6 +1351,7 @@ def forward(
     return decode(
         params, cfg, prev_output_tokens, enc_out, code_masks=code_masks,
         rngs=rngs, deterministic=deterministic,
+        code_masks_all=code_masks_all,
     )
 
 

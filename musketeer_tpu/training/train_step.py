@@ -71,6 +71,11 @@ def task_loss(
         deterministic=not train,
         train_bn=False,  # frozen BN stats (ref FrozenBatchNorm eval-parity path)
         resnet_feats=batch.resnet_feats,
+        # task batches are homogeneous: a batch carrying code_masks is an
+        # image-gen / pure-image batch with EVERY row a code sequence, so
+        # the static all-code promise holds (keeps the flash decode path —
+        # the materialized-bias path OOMs at the 1025-token code targets)
+        code_masks_all=batch.code_masks is not None,
     )
     out = label_smoothed_ce(
         logits,

@@ -332,3 +332,25 @@ def test_full_length_image_gen_target():
     )
     assert logits.shape == (B, T, cfg.padded_vocab_size)
     assert not bool(jnp.any(jnp.isnan(logits)))
+
+
+def test_all_code_flash_decode_matches_xla():
+    """Static all-code flash decode (image-gen batches) must match the
+    materialized-bias XLA path: image positions, code LN, image rel
+    buckets (ref: unify_transformer.py:1451-1465, 1520-1526)."""
+    cfg = tiny_cfg(use_flash_attention=True)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 2, 9
+    src = jnp.asarray(rng.randint(4, 100, (B, 6)), jnp.int32)
+    prev = jnp.asarray(rng.randint(4, 100, (B, T)), jnp.int32)
+    cm = jnp.ones((B,), bool)
+    enc = ofa.encode(params, cfg, src)
+    flash = ofa.decode(
+        params, cfg, prev, enc, code_masks=cm, code_masks_all=True
+    )
+    xla = ofa.decode(params, cfg, prev, enc, code_masks=cm)
+    np.testing.assert_allclose(
+        np.asarray(flash, np.float32), np.asarray(xla, np.float32),
+        atol=2e-4, rtol=2e-4,
+    )
