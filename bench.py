@@ -99,6 +99,12 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
         "gigaword": tb(B, 512, 32),
         "text_infilling": tb(B, 512, 32),  # packs with gigaword
     }
+    from dataclasses import replace as _replace
+
+    # layer remat: the 9-task step (R-Drop-doubled, 6 vision encoders +
+    # a 1025-token code decode) exceeds one chip's 16G without activation
+    # checkpointing — the measured number is the honest production config
+    cfg = _replace(cfg, remat=True)
     crit = CriterionConfig(
         label_smoothing=0.1, use_rdrop=True,
         drop_worst_ratio=0.2, drop_worst_after=6000,

@@ -138,8 +138,15 @@ def _bottleneck(x, p, train: bool, stride: int = 1):
 def _stage(x, p, train: bool, stride: int):
     x = _bottleneck(x, p["first"], train, stride=stride)
     if p["rest"] is not None:
+        # remat each scanned block: without it the scan stacks every
+        # block's input activations for the backward ([n_blocks, B, h, w, C]
+        # — ResNet-101's 22-block layer3 alone held ~1.4 GB at the packed
+        # joint-step batch). Recomputing a bottleneck is 2 convs of cheap
+        # FLOPs vs the dominant HBM cost.
         def body(h, block_p):
-            return _bottleneck(h, block_p, train), None
+            return jax.checkpoint(
+                lambda hh, bp: _bottleneck(hh, bp, train)
+            )(h, block_p), None
         x, _ = jax.lax.scan(body, x, p["rest"])
     return x
 
