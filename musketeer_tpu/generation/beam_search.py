@@ -388,14 +388,18 @@ def beam_search(
 
     # ---- fast candidate path -------------------------------------------
     # When no vocab-shaped constraint applies (the headline caption/gigaword
-    # configs), the [B*K, Vp] post-matmul work collapses to TWO reads of the
-    # bf16 logits (a fused-fp32 logsumexp and a top-M) and every ban lands on
-    # the [B*K, M] candidate set instead of the full-vocab buffer. Exact:
-    # bans can remove at most pad + eos + the n-gram-banned tokens (≤ T-n+1
-    # distinct ids) from a row's top-M, so M = 2K + that bound keeps ≥2K
-    # unbanned candidates; forced at-max eos is appended as its own column.
-    # (r2 profiling: the full-vocab candidate chain + top-2K cost ~0.8ms of
-    # the 1.97ms step at B16/beam5 — this path removes nearly all of it.)
+    # configs), the output projection runs through the fused Pallas kernel
+    # (ops/topk_projection.py): logits + per-128-block maxes + exact
+    # logsumexp in ONE pass over the projection weights, then candidate
+    # blocks are selected from the tiny [N, Vp/128] table and every ban
+    # lands on the gathered [N, nb_sel·128] candidate set. Measured r3
+    # (probe, v5e): ANY full-vocab XLA op costs ~0.6-0.8 ms at this shape
+    # (lane-reduction bound, 30x off roofline) — the kernel removes all of
+    # them. Exactness: the post-ban top-2K live within the top
+    # (2K + max_bans) blocks — every outranking block holds a better token,
+    # ≤ 2K−1 unbanned + one per banned id (pad + eos + ≤ T−n+1 n-gram);
+    # forced at-max eos is appended as its own column. On exact bf16 value
+    # ties at the block boundary an equal-scoring token may differ.
     fast_path = (
         trie is None
         and gen_cfg.constraint_range is None
@@ -408,9 +412,29 @@ def beam_search(
         and gen_cfg.unk_penalty == 0
         and not gen_cfg.gen_box
         and not gen_cfg.gen_code
+        and n_models == 1
+        and Vp % 128 == 0
     )
     ngram = gen_cfg.no_repeat_ngram_size
-    fast_M = min(2 * K + 2 + (T - ngram + 1 if ngram > 0 else 0), Vp)
+    if fast_path:
+        from ..ops.topk_projection import (
+            project_with_stats, select_candidate_blocks,
+        )
+
+        proj_dtype = jnp.dtype(cfg.dtype)
+        if "embed_tokens_q8" in params:
+            w_proj = params["embed_tokens_q8"]
+            w_scale = params["embed_tokens_scale"]
+        else:
+            w_proj = params["embed_tokens"].astype(proj_dtype)
+            w_scale = None
+        # pin outside the loop: the astype/copy is loop-invariant and XLA's
+        # constant-sinking would otherwise re-cast 91MB per step (the r2
+        # cross-KV lesson)
+        w_proj = jax.lax.optimization_barrier(w_proj)
+        nb_sel = min(
+            2 * K + 2 + (T - ngram + 1 if ngram > 0 else 0), Vp // 128
+        )
 
     def body_fast(s: BeamState) -> BeamState:
         step = s.step
@@ -418,13 +442,18 @@ def beam_search(
         cur_tokens = jax.lax.dynamic_index_in_dim(
             s.alive_tokens, step, axis=2, keepdims=False
         )  # [B, K]
-        logits, new_dec = _decode(_flat(cur_tokens), step, s.self_kv)
-        # fused single-pass fp32 logsumexp over the (bf16) logits; top-M
-        # order is dtype-invariant (fp32 upcast is exact)
-        Z = jax.scipy.special.logsumexp(
-            logits.astype(jnp.float32), axis=-1
-        )  # [N]
-        vals, ids = jax.lax.top_k(logits, fast_M)  # [N, M]
+        feats, new_dec = ofa.decode_step(
+            params, cfg, _flat(cur_tokens), step, _with_self_kv(s.self_kv),
+            code_masks=code_masks, features_only=True,
+        )  # [N, d]
+        h = feats.astype(proj_dtype)
+        if gen_cfg.temperature != 1.0:
+            # projection is linear (no bias): scaling h == scaling logits
+            h = h / gen_cfg.temperature
+        logits, bmax, Z = project_with_stats(
+            h, w_proj, w_scale, vocab_size=cfg.vocab_size
+        )
+        vals, ids = select_candidate_blocks(logits, bmax, nb_sel)
         alive_flat = _flat(s.alive_scores)  # [N]
         cand = vals.astype(jnp.float32) - Z[:, None] + alive_flat[:, None]
         cand = jnp.where(jnp.isnan(cand), NEG_INF, cand)

@@ -1464,8 +1464,13 @@ def decode_step(
     step: jnp.ndarray,  # scalar int32 current position
     state: DecoderState,
     code_masks: Optional[jnp.ndarray] = None,
+    features_only: bool = False,
 ) -> Tuple[jnp.ndarray, DecoderState]:
-    """One incremental decode step → (logits [B, V], new state)."""
+    """One incremental decode step → (logits [B, V], new state).
+
+    ``features_only`` returns the post-LN features [B, d] instead of
+    logits — the beam fast path fuses the output projection with its
+    softmax stats in a Pallas kernel (ops/topk_projection.py)."""
     dec = params["decoder"]
     B = tokens.shape[0]
     dtype = jnp.dtype(cfg.dtype)
@@ -1524,10 +1529,12 @@ def decode_step(
     )
 
     x = _layer_norm(dec["layer_norm"], x)
-    logits = output_layer(params, cfg, x)[:, 0]
     new_cache = {
         **state.cache,
         "self_k": new_self_k,
         "self_v": new_self_v,
     }
+    if features_only:
+        return x[:, 0], state._replace(cache=new_cache)
+    logits = output_layer(params, cfg, x)[:, 0]
     return logits, state._replace(cache=new_cache)

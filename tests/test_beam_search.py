@@ -665,3 +665,45 @@ def test_ensemble_two_models_greedy_matches_manual(tiny):
         if nxt == cfg.eos:
             break
     assert got == out, (got, out)
+
+
+def test_project_with_stats_matches_xla():
+    """Fused projection kernel: logits, block maxes and logsumexp must match
+    the plain XLA projection (bf16 weights and int8 variant)."""
+    from musketeer_tpu.ops.topk_projection import (
+        project_with_stats, select_candidate_blocks,
+    )
+
+    rng = np.random.RandomState(0)
+    N, D, Vp, V = 10, 64, 512, 450
+    h = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    w = jnp.asarray(rng.randn(Vp, D).astype(np.float32))
+    logits, bmax, Z = project_with_stats(h, w, vocab_size=V)
+    ref = np.array(h @ w.T, np.float32)
+    ref[:, V:] = -1e9
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(bmax), ref.reshape(N, Vp // 128, 128).max(-1),
+        rtol=1e-5, atol=1e-4,
+    )
+    from scipy.special import logsumexp as sp_lse
+
+    np.testing.assert_allclose(np.asarray(Z), sp_lse(ref, axis=1), rtol=1e-5)
+
+    # int8 variant
+    scale = np.maximum(np.abs(np.asarray(w)).max(1), 1e-8) / 127.0
+    q = np.clip(np.round(np.asarray(w) / scale[:, None]), -127, 127).astype(np.int8)
+    ql, qb, qZ = project_with_stats(
+        h, jnp.asarray(q), jnp.asarray(scale), vocab_size=V
+    )
+    deq = (q.astype(np.float32) * scale[:, None])
+    ref_q = np.asarray(h) @ deq.T
+    ref_q[:, V:] = -1e9
+    np.testing.assert_allclose(np.asarray(ql), ref_q, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(qZ), sp_lse(ref_q, axis=1), rtol=1e-4)
+
+    # block selection returns the right values/ids
+    g, ids = select_candidate_blocks(logits, bmax, 2)
+    assert g.shape == (N, 256) and ids.shape == (N, 256)
+    got = np.take_along_axis(ref, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(np.asarray(g), got, rtol=2e-5, atol=2e-4)
