@@ -192,6 +192,9 @@ class GenerationConfig:
     # serving: int8-quantize the cross-attention K/V cache (per-position
     # absmax scales; halves the decode loop's per-step cross-KV HBM read)
     int8_cross_kv: bool = False
+    # escape hatch: force the reference (full-vocab XLA) candidate path even
+    # when the fused Pallas projection fast path would apply (A/B + debug)
+    use_fast_path: bool = True
 
 
 @dataclass(frozen=True)

@@ -401,7 +401,8 @@ def beam_search(
     # forced at-max eos is appended as its own column. On exact bf16 value
     # ties at the block boundary an equal-scoring token may differ.
     fast_path = (
-        trie is None
+        gen_cfg.use_fast_path
+        and trie is None
         and gen_cfg.constraint_range is None
         and allowed_fn is None
         and constraints is None
