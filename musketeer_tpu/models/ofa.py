@@ -305,9 +305,13 @@ def _flash_self_attn(
     q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
     k = _split_heads(_linear(p["k_proj"], x), H)
     v = _split_heads(_linear(p["v_proj"], x), H)
+    # 256-row q-tiles amortize the per-tile K/V/rel streams at long S
+    # (encoder S≈980: bwd 3.7→3.2 ms/layer, probe_attn r3); short decoder
+    # targets keep 128 to bound the pad waste
+    bq = 256 if x.shape[1] >= 256 else 128
     out = flash_attention_bias_trainable(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
-        rel.astype(q.dtype), kpad, causal, 128, False, True,
+        rel.astype(q.dtype), kpad, causal, bq, False, True,
         cfg.flash_skip_max_subtract,
     )
     out = _merge_heads(out)
@@ -332,9 +336,10 @@ def _flash_cross_attn(
     k = _split_heads(_linear(p["k_proj"], enc_x), H)
     v = _split_heads(_linear(p["v_proj"], enc_x), H)
     rel0 = jnp.zeros((H, q.shape[2], k.shape[2]), q.dtype)
+    bq = 256 if q.shape[2] >= 256 else 128
     out = flash_attention_bias_trainable(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
-        rel0, kpad, False, 128, False, False,
+        rel0, kpad, False, bq, False, False,
         cfg.flash_skip_max_subtract,
     )
     out = _merge_heads(out)
@@ -664,18 +669,31 @@ def encode(
         pos_k = _pos_proj(enc["pos_k_linear"], pos_for_bias, cfg, False, dtype)
         H = cfg.attention_heads
 
+        # One lane-dense gather for ALL layers, hoisted out of the scan: the
+        # per-layer ``table[rp]`` alternative gathers [N, N, H] with H=12
+        # trailing lanes padded to 128 (≈10× HBM traffic), repeats it per
+        # layer, and re-runs it under remat — measured as the dominant cost
+        # of the encoder train step (probe_train r3: 19.5 ms/layer vs ~6 ms
+        # of attention+FFN). [L, H, T, T] / [L, H, N, N] compact slices ride
+        # the scan as xs; the cheap zeros+set compose stays in-layer (and
+        # in-remat) so no [L, H, S, S] residual is saved.
+        rel_tok_all = _rel_gather(enc["token_rel_pos_table"], token_rp, dtype)
+        rel_img_all = (
+            _rel_gather(enc["image_rel_pos_table"], image_rp, dtype)
+            if N
+            else jnp.zeros(
+                (cfg.encoder_layers, H, 1, 1), dtype
+            )  # scan xs placeholder (text-only encode)
+        )
+
         def layer_body(x, layer_in):
-            layer_p, token_table, image_table, dp_rate = layer_in
-            # built directly in compute dtype: the kernel consumes bf16 rel,
-            # so an fp32 intermediate would just add a [H,S,S] convert pass
+            layer_p, rel_tok, rel_img, dp_rate = layer_in
+            # composed in compute dtype: the kernel consumes bf16 rel, so an
+            # fp32 intermediate would just add a [H,S,S] convert pass
             rel = jnp.zeros((H, S, S), dtype)
-            rel = rel.at[:, S - T :, S - T :].set(
-                token_table[token_rp].transpose(2, 0, 1).astype(dtype)
-            )
+            rel = rel.at[:, S - T :, S - T :].set(rel_tok)
             if N:
-                rel = rel.at[:, :N, :N].set(
-                    image_table[image_rp].transpose(2, 0, 1).astype(dtype)
-                )
+                rel = rel.at[:, :N, :N].set(rel_img)
             fwd = lambda xx: _encoder_layer(
                 layer_p, cfg, xx, None, padding_mask,
                 rngs=rngs, deterministic=deterministic,
@@ -718,12 +736,18 @@ def encode(
             return fwd(x), None
 
     enc_dp = cfg.encoder_drop_path_rate > 0 and not deterministic
-    xs = (
-        enc["layers"],
-        enc["token_rel_pos_table"],
-        enc["image_rel_pos_table"],
-        jnp.linspace(0.0, cfg.encoder_drop_path_rate, cfg.encoder_layers),
+    dp_rates = jnp.linspace(
+        0.0, cfg.encoder_drop_path_rate, cfg.encoder_layers
     )
+    if use_flash:
+        xs = (enc["layers"], rel_tok_all, rel_img_all, dp_rates)
+    else:
+        xs = (
+            enc["layers"],
+            enc["token_rel_pos_table"],
+            enc["image_rel_pos_table"],
+            dp_rates,
+        )
     if cfg.encoder_prompt:
         xs = xs + (enc_prompt_kv,)
 
@@ -747,21 +771,16 @@ def encode(
         payload_mb = jax.tree.map(
             lambda a: a.reshape((M, B // M) + a.shape[1:]), payload
         )
-        consts = image_rp if N else jnp.zeros((1, 1), jnp.int32)
-        token_rp_c = token_rp  # traced constant, passed explicitly
+        consts = jnp.zeros((1, 1), jnp.int32)  # unused; kept for the API
         Hh = cfg.attention_heads
 
         def pipe_body(pl, layer_in, consts_in):
-            layer_p, token_table, image_table, _dp = layer_in
-            image_rp_c = consts_in
+            # xs carry the pre-gathered compact rel slices (see layer_body)
+            layer_p, rel_tok, rel_img, _dp = layer_in
             rel = jnp.zeros((Hh, S, S), dtype)
-            rel = rel.at[:, S - T :, S - T :].set(
-                token_table[token_rp_c].transpose(2, 0, 1).astype(dtype)
-            )
+            rel = rel.at[:, S - T :, S - T :].set(rel_tok)
             if N:
-                rel = rel.at[:, :N, :N].set(
-                    image_table[image_rp_c].transpose(2, 0, 1).astype(dtype)
-                )
+                rel = rel.at[:, :N, :N].set(rel_img)
             new_x = _encoder_layer(
                 layer_p, cfg, pl["x"], None, pl["pad"],
                 deterministic=True, flash=(pl["pos_q"], pl["pos_k"], rel),
@@ -868,7 +887,7 @@ def _decoder_embed(
     return _dropout(x, cfg.dropout, rngs, deterministic)
 
 
-def _decoder_rel_bias(params, cfg, T: int, code_masks):
+def _decoder_rel_bias(params, cfg, T: int, code_masks, dtype=None):
     """Per-layer self-attn rel bias [L, H, T, T] (token and/or image variant).
 
     The bucket grid extends past max_target_positions when T exceeds it
@@ -883,7 +902,7 @@ def _decoder_rel_bias(params, cfg, T: int, code_masks):
             cfg.token_bucket_size, max(cfg.max_target_positions, T)
         )
     )[:T, :T]
-    rel_tok = _rel_gather(dec["token_rel_pos_table"], token_rp)
+    rel_tok = _rel_gather(dec["token_rel_pos_table"], token_rp, dtype)
     if code_masks is None:
         return rel_tok, None
     img_idx = jnp.asarray(
@@ -895,11 +914,11 @@ def _decoder_rel_bias(params, cfg, T: int, code_masks):
         pos_lib.make_image_bucket_position(cfg.image_bucket_size, cfg.image_num_rel_dis)
     )
     image_rp = image_rp_full[img_idx[:, None], img_idx[None, :]]  # [T, T]
-    rel_img = _rel_gather(dec["image_rel_pos_table"], image_rp)
+    rel_img = _rel_gather(dec["image_rel_pos_table"], image_rp, dtype)
     return rel_tok, rel_img
 
 
-def _rel_gather(table: jnp.ndarray, rp: jnp.ndarray) -> jnp.ndarray:
+def _rel_gather(table: jnp.ndarray, rp: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """table [L, Vb, H] gathered by bucket ids rp [T, T] → [L, H, T, T].
 
     Gathers through a lane-dense [Vb, L·H] view: the naive
@@ -907,8 +926,11 @@ def _rel_gather(table: jnp.ndarray, rp: jnp.ndarray) -> jnp.ndarray:
     (L, H) trailing dims pad to the (8, 128) tile — a 14× memory expansion
     (4 GB at T=1025, the image-gen target length; seen as the top HBM
     allocation in the joint-step OOM). The dense view pads 72→128 lanes
-    once instead.
+    once instead. ``dtype`` casts the (tiny) table BEFORE gathering so the
+    [T², L·H] gather output streams at compute precision, not fp32.
     """
+    if dtype is not None:
+        table = table.astype(dtype)
     L, Vb, H = table.shape
     T = rp.shape[0]
     flat = table.transpose(1, 0, 2).reshape(Vb, L * H)[rp.reshape(-1)]
@@ -1142,9 +1164,9 @@ def decode(
             rngs=rngs, deterministic=deterministic,
         )
         rel_tok, rel_img = _decoder_rel_bias(
-            params, cfg, T, code_masks if all_code else None
+            params, cfg, T, code_masks if all_code else None, dtype
         )
-        rel_flash = (rel_img if all_code else rel_tok).astype(dtype)
+        rel_flash = rel_img if all_code else rel_tok
 
         def layer_body(x, layer_in):
             layer_p, rt, dp_rate = layer_in

@@ -9,11 +9,17 @@ log-sum-exp; backward recomputes P tile-wise and produces all six gradients:
   dk = dWᵀ·Q        dpos_k = dWᵀ·PQ        dv = Pᵀ·dO
   drel = Σ_b dW
 
-TPU grid-accumulation rules shape the split into two kernels:
-- kernel A, grid (B, H, nQ): per-tile dq/dpos_q plus dk/dv/dpos_k accumulated
-  over the innermost q-tile axis (consecutive revisits of the same block),
-- kernel B, grid (H, nQ, B): recomputes dW and accumulates drel over the
-  innermost batch axis.
+ONE batch-chunked kernel produces all six gradients, grid
+(B/block_b, H, nQ): each cell loops ``block_b`` batch rows in-kernel, so
+- dk/dv/dpos_k accumulate over the innermost q-tile axis (consecutive
+  revisits of the same output block — the only legal Pallas accumulation),
+- drel accumulates over the in-cell batch loop into a per-batch-chunk
+  fp32 partial ([nBC, H, T, S]); the (usually trivial) cross-chunk sum
+  happens in XLA.
+An earlier revision used a second kernel with grid (H, nQ, B) to give drel
+an innermost batch axis — that recomputed the whole [BQ, S] dW (the
+VPU-bound exp pass) and re-streamed q/k/v/do a second time; the fused
+version measured 1.6× faster at the encoder train shape.
 """
 
 from __future__ import annotations
@@ -88,91 +94,65 @@ def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
         o_ref[c] = (acc / denom).astype(o_ref.dtype)
 
 
-def _bwd_kernel_a(
+def _bwd_kernel_fused(
     qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
     do_ref, lse_ref, dsum_ref,
-    dqc_ref, dkc_ref, dv_ref,
-    *, causal, block_q,
+    dqc_ref, dkc_ref, dv_ref, *maybe_drel,
+    causal, block_q, block_b, need_drel,
 ):
+    drel_ref = maybe_drel[0] if need_drel else None
     # Packed layout mirrors the forward kernel: qc = [q | pos_q],
     # kc = [k | pos_k] along the head dim, so the w recompute is one dot
     # and the paired gradients come out packed for free:
     #   dW·kc  = [dq  | dpos_q]      dWᵀ·qc = [dk | dpos_k]
     qi = pl.program_id(2)
-    qc = qc_ref[...]
-    w = jax.lax.dot_general(
-        qc, kc_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    w += rel_ref[...].astype(jnp.float32)
+    rel = rel_ref[...].astype(jnp.float32)
     if causal:
-        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-        w = jnp.where(kpos > qpos, NEG_INF, w)
-    pad = kpad_ref[pl.program_id(0), :] != 0
-    w = jnp.where(pad[None, :], NEG_INF, w)
-    p = jnp.exp(w - lse_ref[...])  # [BQ, S] fp32 (pad cols → 0)
-
-    do = do_ref[...].astype(jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v_ref[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dw = p * (dp - dsum_ref[...])  # [BQ, S]
-
-    dqc_ref[...] = jax.lax.dot_general(
-        dw, kc_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dqc_ref.dtype)
-
-    dkc_t = jax.lax.dot_general(
-        dw, qc.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [S, Dc]
-    dv_t = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, rel.shape, 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, rel.shape, 1)
+        rel = jnp.where(kpos > qpos, NEG_INF, rel)
 
     @pl.when(qi == 0)
     def _():
         dkc_ref[...] = jnp.zeros_like(dkc_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    dkc_ref[...] += dkc_t.astype(dkc_ref.dtype)
-    dv_ref[...] += dv_t.astype(dv_ref.dtype)
+    drel_acc = jnp.zeros(rel.shape, jnp.float32) if need_drel else None
+    for c in range(block_b):
+        qc = qc_ref[c]
+        kc = kc_ref[c]
+        w = jax.lax.dot_general(
+            qc, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w += rel
+        pad = kpad_ref[pl.program_id(0) * block_b + c, :] != 0
+        w = jnp.where(pad[None, :], NEG_INF, w)
+        p = jnp.exp(w - lse_ref[c])  # [BQ, S] fp32 (pad cols → 0)
 
+        do = do_ref[c].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[c].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dw = p * (dp - dsum_ref[c])  # [BQ, S]
+        if need_drel:
+            drel_acc += dw
 
-def _bwd_kernel_b(
-    qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
-    do_ref, lse_ref, dsum_ref, drel_ref, *, causal, block_q,
-):
-    # grid (H, nQ, B): accumulate drel over innermost b
-    qi = pl.program_id(1)
-    b = pl.program_id(2)
-    w = jax.lax.dot_general(
-        qc_ref[...], kc_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    w += rel_ref[...].astype(jnp.float32)
-    if causal:
-        qpos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-        w = jnp.where(kpos > qpos, NEG_INF, w)
-    pad = kpad_ref[b, :] != 0
-    w = jnp.where(pad[None, :], NEG_INF, w)
-    p = jnp.exp(w - lse_ref[...])
-    do = do_ref[...].astype(jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v_ref[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dw = p * (dp - dsum_ref[...])
-
-    @pl.when(b == 0)
-    def _():
-        drel_ref[...] = jnp.zeros_like(drel_ref)
-
-    drel_ref[...] += dw.astype(drel_ref.dtype)
+        dqc_ref[c] = jax.lax.dot_general(
+            dw, kc.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dqc_ref.dtype)
+        dkc_ref[c] += jax.lax.dot_general(
+            dw, qc.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dkc_ref.dtype)
+        dv_ref[c] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+    if need_drel:
+        drel_ref[...] = drel_acc.astype(drel_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +227,10 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
 
 
 def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
-         o, lse, do):
+         o, lse, do, block_b=2):
+    # block_b=2 keeps the cell's scoped VMEM ≈11 MB (double-buffered fp32
+    # dk/dv accumulators dominate); block_b=4 measured 16.17 MB — over the
+    # 16 MB scoped limit
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, T, D = q.shape
     S = k.shape[2]
@@ -260,69 +243,77 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )
     dsum2 = jnp.pad(dsum, ((0, 0), (0, 0), (0, Tp - T)))[..., None]
-    kpad_i = kpad2.astype(jnp.int32)
 
     nq = Tp // block_q
-    # packed operands (see _bwd_kernel_a): qc = [q | pos_q], kc = [k | pos_k]
+    # packed operands (see _bwd_kernel_fused): qc = [q|pos_q], kc = [k|pos_k]
     qc2 = jnp.concatenate([q2[..., :D], pq2[..., :D]], axis=-1)
     kc2 = jnp.concatenate([k2[..., :D], pk2[..., :D]], axis=-1)
     Dc = _round_up(2 * D, 128)
     if Dc != 2 * D:
         cs = ((0, 0), (0, 0), (0, 0), (0, Dc - 2 * D))
         qc2, kc2 = jnp.pad(qc2, cs), jnp.pad(kc2, cs)
-    common_in = [qc2, kc2, v2, rel2, kpad_i, do2, lse2, dsum2]
-    specs_a = [
-        pl.BlockSpec((None, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((None, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
-        pl.BlockSpec((B, Sp), lambda b, h, i: (0, 0)),
-        pl.BlockSpec((None, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
-    ]
-    dqc, dkc, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_a, causal=causal, block_q=block_q),
-        grid=(B, H, nq),
-        in_specs=specs_a,
-        out_specs=[
-            pl.BlockSpec((None, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Tp, Dc), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Sp, Dc), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Sp, Dp), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*common_in)
+    # batch-chunk: padded batch rows carry kpad=True everywhere, so their
+    # p = exp(NEG_INF − 0) = 0 and every gradient contribution vanishes
+    BC = max(1, min(block_b, B))
+    Bp = _round_up(B, BC)
+    if Bp != B:
+        bs = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
+        qc2, kc2, v2, do2 = (jnp.pad(a, bs) for a in (qc2, kc2, v2, do2))
+        ls = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
+        lse2, dsum2 = jnp.pad(lse2, ls), jnp.pad(dsum2, ls)
+        kpad2 = jnp.pad(kpad2, ((0, Bp - B), (0, 0)), constant_values=True)
+    kpad_i = kpad2.astype(jnp.int32)
+    nbc = Bp // BC
 
-    specs_b = [
-        pl.BlockSpec((None, None, block_q, Dc), lambda h, i, b: (b, h, i, 0)),
-        pl.BlockSpec((None, None, Sp, Dc), lambda h, i, b: (b, h, 0, 0)),
-        pl.BlockSpec((None, None, Sp, Dp), lambda h, i, b: (b, h, 0, 0)),
-        pl.BlockSpec((None, block_q, Sp), lambda h, i, b: (h, i, 0)),
-        pl.BlockSpec((B, Sp), lambda h, i, b: (0, 0)),
-        pl.BlockSpec((None, None, block_q, Dp), lambda h, i, b: (b, h, i, 0)),
-        pl.BlockSpec((None, None, block_q, 1), lambda h, i, b: (b, h, i, 0)),
-        pl.BlockSpec((None, None, block_q, 1), lambda h, i, b: (b, h, i, 0)),
+    in_specs = [
+        pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((BC, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
+        pl.BlockSpec((Bp, Sp), lambda b, h, i: (0, 0)),
+        pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((BC, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, H, Tp, Dc), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, H, Sp, Dc), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, H, Sp, Dp), jnp.float32),
     ]
     if need_drel:
-        drel = pl.pallas_call(
-            functools.partial(_bwd_kernel_b, causal=causal, block_q=block_q),
-            grid=(H, nq, B),
-            in_specs=specs_b,
-            out_specs=pl.BlockSpec((None, block_q, Sp), lambda h, i, b: (h, i, 0)),
-            out_shape=jax.ShapeDtypeStruct((H, Tp, Sp), jnp.float32),
-            interpret=interpret,
-        )(*common_in)
-        drel = drel[:, :T, :S].astype(rel.dtype)
+        # per-batch-chunk fp32 partials; the nbc-way sum happens in XLA
+        # (nbc is 1 or 2 at the training shapes — a cheap reduce)
+        out_specs.append(
+            pl.BlockSpec((None, None, block_q, Sp), lambda b, h, i: (b, h, i, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nbc, H, Tp, Sp), jnp.float32)
+        )
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_fused, causal=causal, block_q=block_q,
+            block_b=BC, need_drel=need_drel,
+        ),
+        grid=(nbc, H, nq),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(qc2, kc2, v2, rel2, kpad_i, do2, lse2, dsum2)
+    if need_drel:
+        dqc, dkc, dv, drel_p = outs
+        drel = jnp.sum(drel_p, axis=0)[:, :T, :S].astype(rel.dtype)
     else:
+        dqc, dkc, dv = outs
         drel = jnp.zeros_like(rel)
 
-    qsl = (slice(None), slice(None), slice(0, T))
-    ksl = (slice(None), slice(None), slice(0, S))
+    qsl = (slice(0, B), slice(None), slice(0, T))
+    ksl = (slice(0, B), slice(None), slice(0, S))
     return (
         dqc[qsl + (slice(0, D),)].astype(q.dtype),
         dkc[ksl + (slice(0, D),)].astype(k.dtype),
