@@ -307,8 +307,10 @@ def _flash_self_attn(
     v = _split_heads(_linear(p["v_proj"], x), H)
     # 256-row q-tiles amortize the per-tile K/V/rel streams at long S
     # (encoder S≈980: bwd 3.7→3.2 ms/layer, probe_attn r3); short decoder
-    # targets keep 128 to bound the pad waste
-    bq = 256 if x.shape[1] >= 256 else 128
+    # targets keep 128 to bound the pad waste, and Sp>1024 keeps 128 to fit
+    # the backward's scoped VMEM (19.15 MB OOM at bq256/S1152)
+    Sp_ = -(-x.shape[1] // 128) * 128
+    bq = 256 if (x.shape[1] >= 256 and Sp_ <= 1024) else 128
     out = flash_attention_bias_trainable(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
         rel.astype(q.dtype), kpad, causal, bq, False, True,
@@ -336,7 +338,8 @@ def _flash_cross_attn(
     k = _split_heads(_linear(p["k_proj"], enc_x), H)
     v = _split_heads(_linear(p["v_proj"], enc_x), H)
     rel0 = jnp.zeros((H, q.shape[2], k.shape[2]), q.dtype)
-    bq = 256 if q.shape[2] >= 256 else 128
+    Sp_ = -(-k.shape[2] // 128) * 128
+    bq = 256 if (q.shape[2] >= 256 and Sp_ <= 1024) else 128
     out = flash_attention_bias_trainable(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
         rel0, kpad, False, bq, False, False,

@@ -227,10 +227,11 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
 
 
 def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
-         o, lse, do, block_b=2):
-    # block_b=2 keeps the cell's scoped VMEM ≈11 MB (double-buffered fp32
-    # dk/dv accumulators dominate); block_b=4 measured 16.17 MB — over the
-    # 16 MB scoped limit
+         o, lse, do, block_b=None):
+    # Empirical scoped-VMEM limits (v5e, 16 MB): block_b=4 @ (bq128, S1024)
+    # = 16.17 MB OOM; block_b=2 @ (bq256, S1152) = 19.15 MB OOM; block_b=2
+    # fits at (bq256, S1024) and (bq128, S1152). Long-S pretrain pairs
+    # (S≈1412→Sp1536) drop to block_b=1.
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, T, D = q.shape
     S = k.shape[2]
@@ -252,6 +253,8 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     if Dc != 2 * D:
         cs = ((0, 0), (0, 0), (0, 0), (0, Dc - 2 * D))
         qc2, kc2 = jnp.pad(qc2, cs), jnp.pad(kc2, cs)
+    if block_b is None:
+        block_b = 2 if Sp <= 1280 else 1
     # batch-chunk: padded batch rows carry kpad=True everywhere, so their
     # p = exp(NEG_INF − 0) = 0 and every gradient contribution vanishes
     BC = max(1, min(block_b, B))
