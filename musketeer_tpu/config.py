@@ -95,6 +95,12 @@ class ModelConfig:
     # layer stacks run as P stages with this many microbatches (0 = off;
     # requires use_flash_attention, a 'pipe' mesh axis, and B % M == 0)
     pipeline_microbatches: int = 0
+    # Unroll the encoder/decoder/ResNet layer loops instead of lax.scan:
+    # XLA then stores each layer's backward residuals as plain buffers
+    # instead of dynamic-update-slice stacking (the DUS passes ranked among
+    # the top train-step fusions in the compiled HLO), trading O(L) compile
+    # time. Ignored by the pipelined path (stages need stacked layers).
+    unroll_layers: bool = False
 
     @property
     def head_dim(self) -> int:

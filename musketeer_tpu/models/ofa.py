@@ -453,6 +453,23 @@ def _dec_dpr(cfg: ModelConfig) -> jnp.ndarray:
     return jnp.linspace(0.0, cfg.decoder_drop_path_rate, cfg.decoder_layers)
 
 
+def _scan_or_unroll(body, x, xs, unroll: bool):
+    """Drive the layer stack: ``lax.scan`` over stacked leaves, or a Python
+    loop with static per-layer slices when ``unroll``.
+
+    Unrolled, XLA saves each layer's backward residuals as plain buffers
+    instead of dynamic-update-slice stacking into [L, ...] arrays — those
+    DUS passes ranked among the top train-step fusions in the compiled-HLO
+    cycle ranking (probe_hlo.py) — at the price of O(L) compile time."""
+    if not unroll:
+        x, _ = jax.lax.scan(body, x, xs)
+        return x
+    L = jax.tree.leaves(xs)[0].shape[0]
+    for i in range(L):
+        x, _ = body(x, jax.tree.map(lambda a: a[i], xs))
+    return x
+
+
 class EncoderOut(NamedTuple):
     x: jnp.ndarray  # [B, S, d] final hidden states
     padding_mask: jnp.ndarray  # [B, S] bool, True = pad
@@ -563,7 +580,8 @@ def encode(
             feats = resnet_feats.astype(dtype)
         else:
             feats = resnet_forward(
-                enc["resnet"], patch_images.astype(dtype), train=train_bn
+                enc["resnet"], patch_images.astype(dtype), train=train_bn,
+                unroll=cfg.unroll_layers,
             )
         Bi, h, w, _ = feats.shape
         image_embed = feats.reshape(Bi, h * w, -1)
@@ -689,12 +707,21 @@ def encode(
             )  # scan xs placeholder (text-only encode)
         )
 
+        # compose rel directly at the kernel's padded size so its wrapper
+        # pad is zero-width (XLA elides it) — saves a full [H, Sp, Sp]
+        # read+write pass per layer consumption (fwd AND the remat bwd
+        # recompute); padded key cols are NEG_INF-masked by kpad anyway.
+        # Tile math mirrors _flash_self_attn's block_q selection.
+        _Sk = -(-S // 128) * 128
+        _bq = 256 if (S >= 256 and _Sk <= 1024) else 128
+        _Sq = -(-S // _bq) * _bq
+
         def layer_body(x, layer_in):
             layer_p, rel_tok, rel_img, dp_rate = layer_in
             # composed in compute dtype: the kernel consumes bf16 rel, so an
             # fp32 intermediate would just add a [H,S,S] convert pass
-            rel = jnp.zeros((H, S, S), dtype)
-            rel = rel.at[:, S - T :, S - T :].set(rel_tok)
+            rel = jnp.zeros((H, _Sq, _Sk), dtype)
+            rel = rel.at[:, S - T : S, S - T : S].set(rel_tok)
             if N:
                 rel = rel.at[:, :N, :N].set(rel_img)
             fwd = lambda xx: _encoder_layer(
@@ -777,11 +804,16 @@ def encode(
         consts = jnp.zeros((1, 1), jnp.int32)  # unused; kept for the API
         Hh = cfg.attention_heads
 
+        _Sk = -(-S // 128) * 128
+        _bq = 256 if (S >= 256 and _Sk <= 1024) else 128
+        _Sq = -(-S // _bq) * _bq
+
         def pipe_body(pl, layer_in, consts_in):
-            # xs carry the pre-gathered compact rel slices (see layer_body)
+            # xs carry the pre-gathered compact rel slices (see layer_body);
+            # rel composed at the kernel's padded size (see layer_body below)
             layer_p, rel_tok, rel_img, _dp = layer_in
-            rel = jnp.zeros((Hh, S, S), dtype)
-            rel = rel.at[:, S - T :, S - T :].set(rel_tok)
+            rel = jnp.zeros((Hh, _Sq, _Sk), dtype)
+            rel = rel.at[:, S - T : S, S - T : S].set(rel_tok)
             if N:
                 rel = rel.at[:, :N, :N].set(rel_img)
             new_x = _encoder_layer(
@@ -796,7 +828,7 @@ def encode(
         )
         x = out["x"].reshape((B,) + out["x"].shape[2:])
     else:
-        x, _ = jax.lax.scan(layer_body, x, xs)
+        x = _scan_or_unroll(layer_body, x, xs, cfg.unroll_layers)
 
     x = _layer_norm(enc["layer_norm"], x)
     return EncoderOut(x=x, padding_mask=padding_mask, pos_embed=pos_for_bias)
@@ -1270,7 +1302,7 @@ def decode(
         )
         x = out["x"].reshape((B,) + out["x"].shape[2:])
     else:
-        x, _ = jax.lax.scan(layer_body, x, xs)
+        x = _scan_or_unroll(layer_body, x, xs, cfg.unroll_layers)
     x = _layer_norm(dec["layer_norm"], x)
     if features_only:
         return x

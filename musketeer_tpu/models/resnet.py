@@ -135,7 +135,7 @@ def _bottleneck(x, p, train: bool, stride: int = 1):
     return jax.nn.relu(identity + out)
 
 
-def _stage(x, p, train: bool, stride: int):
+def _stage(x, p, train: bool, stride: int, unroll: bool = False):
     x = _bottleneck(x, p["first"], train, stride=stride)
     if p["rest"] is not None:
         # remat each scanned block: without it the scan stacks every
@@ -143,15 +143,24 @@ def _stage(x, p, train: bool, stride: int):
         # — ResNet-101's 22-block layer3 alone held ~1.4 GB at the packed
         # joint-step batch). Recomputing a bottleneck is 2 convs of cheap
         # FLOPs vs the dominant HBM cost.
-        def body(h, block_p):
-            return jax.checkpoint(
-                lambda hh, bp: _bottleneck(hh, bp, train)
-            )(h, block_p), None
-        x, _ = jax.lax.scan(body, x, p["rest"])
+        block = jax.checkpoint(lambda hh, bp: _bottleneck(hh, bp, train))
+        if unroll:
+            # python loop with static slices: backward residuals stay plain
+            # buffers (no dynamic-update-slice stacking passes)
+            n = jax.tree.leaves(p["rest"])[0].shape[0]
+            for i in range(n):
+                x = block(x, jax.tree.map(lambda a: a[i], p["rest"]))
+        else:
+            def body(h, block_p):
+                return block(h, block_p), None
+            x, _ = jax.lax.scan(body, x, p["rest"])
     return x
 
 
-def resnet_forward(params: Params, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+def resnet_forward(
+    params: Params, images: jnp.ndarray, train: bool = False,
+    unroll: bool = False,
+) -> jnp.ndarray:
     """images: [B, H, W, 3] → features [B, H/16, W/16, 1024]."""
     x = _conv(images, params["conv1"], stride=2)
     x = jax.nn.relu(_bn(x, params["bn1"], train))
@@ -164,7 +173,7 @@ def resnet_forward(params: Params, images: jnp.ndarray, train: bool = False) -> 
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    x = _stage(x, params["layer1"], train, stride=1)
-    x = _stage(x, params["layer2"], train, stride=2)
-    x = _stage(x, params["layer3"], train, stride=2)
+    x = _stage(x, params["layer1"], train, stride=1, unroll=unroll)
+    x = _stage(x, params["layer2"], train, stride=2, unroll=unroll)
+    x = _stage(x, params["layer3"], train, stride=2, unroll=unroll)
     return x

@@ -159,20 +159,34 @@ def _bwd_kernel_fused(
 # host-side wrappers
 # ---------------------------------------------------------------------------
 
-def _pad_all(q, k, v, pq, pk, rel, kpad, block_q):
-    """Pad queries to Tp (block multiple) and keys to Sp; T may differ from S
-    (cross-attention)."""
+def _pack_pad(q, k, v, pq, pk, rel, kpad, block_q):
+    """Pack content|positional along the head dim (qc = [q|pos_q],
+    kc = [k|pos_k]) and pad the SEQUENCE dims to tile multiples.
+
+    The head dim stays unpadded on the v/o/do/dv streams: with hd=64 the
+    packed qc/kc width is exactly the 128-lane tile, and Mosaic accepts a
+    64-lane block when it covers the full minor dim — the earlier
+    pad-D-to-128 layout doubled the v/o/do HBM streams and spent whole
+    VPU passes on pad+slice copies (they ranked among the top fusions of
+    the compiled encoder HLO).
+
+    ``rel`` may arrive already padded to [H, Tp, Sp] (the encoder composes
+    it at the padded size so XLA elides the pad entirely); pad widths are
+    taken from its actual shape."""
     B, H, T, D = q.shape
     S = k.shape[2]
     Tp, Sp = _round_up(T, block_q), _round_up(S, 128)
-    Dp = _round_up(D, 128)
-    qs = ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D))
-    ks = ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D))
-    q, pq = jnp.pad(q, qs), jnp.pad(pq, qs)
-    k, v, pk = jnp.pad(k, ks), jnp.pad(v, ks), jnp.pad(pk, ks)
-    rel = jnp.pad(rel, ((0, 0), (0, Tp - T), (0, Sp - S)))
+    Dc = _round_up(2 * D, 128)
+    qc = jnp.concatenate([q, pq], axis=-1)
+    kc = jnp.concatenate([k, pk], axis=-1)
+    qc = jnp.pad(qc, ((0, 0), (0, 0), (0, Tp - T), (0, Dc - 2 * D)))
+    kc = jnp.pad(kc, ((0, 0), (0, 0), (0, Sp - S), (0, Dc - 2 * D)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    rel = jnp.pad(
+        rel, ((0, 0), (0, Tp - rel.shape[1]), (0, Sp - rel.shape[2]))
+    )
     kpad = jnp.pad(kpad, ((0, 0), (0, Sp - S)), constant_values=True)
-    return q, k, v, pq, pk, rel, kpad, Tp, Sp, Dp
+    return qc, kc, v, rel, kpad, Tp, Sp, Dc
 
 
 def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
@@ -180,20 +194,11 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, T, D = q.shape
     S = k.shape[2]
-    q2, k2, v2, pq2, pk2, rel2, kpad2, Tp, Sp, Dp = _pad_all(
+    qc, kc, v2, rel2, kpad2, Tp, Sp, Dc = _pack_pad(
         q, k, v, pq, pk, rel, kpad, block_q
     )
     BC = max(1, min(block_b, B))
     Bp = _round_up(B, BC)
-    # pack content|positional along the head dim (see kernel comment); with
-    # D=64 the packed width is exactly the 128-lane tile the padded layout
-    # wasted on zeros
-    qc = jnp.concatenate([q2[..., :D], pq2[..., :D]], axis=-1)
-    kc = jnp.concatenate([k2[..., :D], pk2[..., :D]], axis=-1)
-    Dc = _round_up(2 * D, 128)
-    if Dc != 2 * D:
-        cs = ((0, 0), (0, 0), (0, 0), (0, Dc - 2 * D))
-        qc, kc = jnp.pad(qc, cs), jnp.pad(kc, cs)
     if Bp != B:
         bs = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
         qc, kc = jnp.pad(qc, bs), jnp.pad(kc, bs)
@@ -209,21 +214,21 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
         in_specs=[
             pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((BC, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((BC, None, Sp, D), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
             pl.BlockSpec((Bp, Sp), lambda b, h, i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((BC, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, H, Tp, Dp), q.dtype),
+            jax.ShapeDtypeStruct((Bp, H, Tp, D), q.dtype),
             jax.ShapeDtypeStruct((Bp, H, Tp, 1), jnp.float32),
         ],
         interpret=interpret,
     )(qc, kc, v2, rel2, kpad2.astype(jnp.int32))
-    return o[:B, :, :T, :D], lse[:B, :, :T, 0]
+    return o[:B, :, :T], lse[:B, :, :T, 0]
 
 
 def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
@@ -235,10 +240,10 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, T, D = q.shape
     S = k.shape[2]
-    q2, k2, v2, pq2, pk2, rel2, kpad2, Tp, Sp, Dp = _pad_all(
+    qc2, kc2, v2, rel2, kpad2, Tp, Sp, Dc = _pack_pad(
         q, k, v, pq, pk, rel, kpad, block_q
     )
-    do2 = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D)))
+    do2 = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
     lse2 = jnp.pad(lse, ((0, 0), (0, 0), (0, Tp - T)))[..., None]
     dsum = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
@@ -246,13 +251,6 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     dsum2 = jnp.pad(dsum, ((0, 0), (0, 0), (0, Tp - T)))[..., None]
 
     nq = Tp // block_q
-    # packed operands (see _bwd_kernel_fused): qc = [q|pos_q], kc = [k|pos_k]
-    qc2 = jnp.concatenate([q2[..., :D], pq2[..., :D]], axis=-1)
-    kc2 = jnp.concatenate([k2[..., :D], pk2[..., :D]], axis=-1)
-    Dc = _round_up(2 * D, 128)
-    if Dc != 2 * D:
-        cs = ((0, 0), (0, 0), (0, 0), (0, Dc - 2 * D))
-        qc2, kc2 = jnp.pad(qc2, cs), jnp.pad(kc2, cs)
     if block_b is None:
         block_b = 2 if Sp <= 1280 else 1
     # batch-chunk: padded batch rows carry kpad=True everywhere, so their
@@ -271,22 +269,22 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     in_specs = [
         pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((BC, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((BC, None, Sp, D), lambda b, h, i: (b, h, 0, 0)),
         pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
         pl.BlockSpec((Bp, Sp), lambda b, h, i: (0, 0)),
-        pl.BlockSpec((BC, None, block_q, Dp), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((BC, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
     ]
     out_specs = [
         pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((BC, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((BC, None, Sp, Dp), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((BC, None, Sp, D), lambda b, h, i: (b, h, 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((Bp, H, Tp, Dc), jnp.float32),
         jax.ShapeDtypeStruct((Bp, H, Sp, Dc), jnp.float32),
-        jax.ShapeDtypeStruct((Bp, H, Sp, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, H, Sp, D), jnp.float32),
     ]
     if need_drel:
         # per-batch-chunk fp32 partials; the nbc-way sum happens in XLA
@@ -310,7 +308,11 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     )(qc2, kc2, v2, rel2, kpad_i, do2, lse2, dsum2)
     if need_drel:
         dqc, dkc, dv, drel_p = outs
-        drel = jnp.sum(drel_p, axis=0)[:, :T, :S].astype(rel.dtype)
+        # slice to the INPUT rel's shape (it may arrive pre-padded to
+        # [H, Tp, Sp]; the vjp must return a matching-shape cotangent)
+        drel = jnp.sum(drel_p, axis=0)[
+            :, : rel.shape[1], : rel.shape[2]
+        ].astype(rel.dtype)
     else:
         dqc, dkc, dv = outs
         drel = jnp.zeros_like(rel)
@@ -320,7 +322,7 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     return (
         dqc[qsl + (slice(0, D),)].astype(q.dtype),
         dkc[ksl + (slice(0, D),)].astype(k.dtype),
-        dv[ksl + (slice(0, D),)].astype(v.dtype),
+        dv[ksl].astype(v.dtype),
         dqc[qsl + (slice(D, 2 * D),)].astype(pq.dtype),
         dkc[ksl + (slice(D, 2 * D),)].astype(pk.dtype),
         drel,

@@ -240,7 +240,8 @@ def _pack_vision_stem(params, model_cfg, batches: Dict[str, TaskBatch]):
             [batches[n].patch_images for n in names], axis=0
         )
         feats = resnet_forward(
-            params["encoder"]["resnet"], imgs.astype(dtype), train=False
+            params["encoder"]["resnet"], imgs.astype(dtype), train=False,
+            unroll=model_cfg.unroll_layers,
         )
         off = 0
         for n in names:

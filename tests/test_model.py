@@ -354,3 +354,29 @@ def test_all_code_flash_decode_matches_xla():
         np.asarray(flash, np.float32), np.asarray(xla, np.float32),
         atol=2e-4, rtol=2e-4,
     )
+
+
+def test_unroll_layers_matches_scan(tiny):
+    """cfg.unroll_layers is a pure execution-strategy switch: forward and
+    gradients must be identical to the scanned stack (incl. the unrolled
+    ResNet stage loop)."""
+    from dataclasses import replace
+
+    cfg, params = tiny
+    cfg_u = replace(cfg, unroll_layers=True)
+    src, imgs, masks = make_batch(cfg)
+    prev = jnp.asarray([[cfg.bos, 5, 6, 7], [cfg.bos, 8, 9, cfg.pad]], jnp.int32)
+
+    def loss(p, c):
+        logits = ofa.forward(p, c, src, prev, imgs, masks)
+        return jnp.sum(logits.astype(jnp.float32) ** 2) * 1e-4
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_u)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g0, g1,
+    )
