@@ -98,9 +98,17 @@ def cmd_train(args):
         logger.info("restored reference checkpoint %s", args.restore_pt)
     else:
         params = ofa.init_ofa_params(jax.random.PRNGKey(cfg.seed), model_cfg)
-    if args.microbatches:
-        from dataclasses import replace as _replace
+    from dataclasses import replace as _replace
 
+    # training compute-path defaults: Pallas attention ON (it falls back
+    # per-call when a precondition fails, e.g. attention dropout)
+    model_cfg = _replace(
+        model_cfg,
+        use_flash_attention=not args.no_flash,
+        remat=args.remat,
+        unroll_layers=args.unroll_layers,
+    )
+    if args.microbatches:
         model_cfg = _replace(model_cfg, pipeline_microbatches=args.microbatches)
 
     # validation: by default Musketeer monitors SNLI-VE only
@@ -374,6 +382,13 @@ def main(argv=None):
                     help="enable encouraging loss with this log_end")
     pt.add_argument("--use-rdrop", action="store_true")
     pt.add_argument("--stop-time-hours", type=float, default=0.0)
+    pt.add_argument("--no-flash", action="store_true",
+                    help="disable the Pallas attention kernels (XLA fallback)")
+    pt.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each transformer layer (memory for FLOPs)")
+    pt.add_argument("--unroll-layers", action="store_true",
+                    help="unroll layer loops instead of lax.scan (faster steps, "
+                         "O(L) compile time)")
     pt.add_argument("--pipeline", type=int, default=1,
                     help="pipeline stages (mesh pipe axis)")
     pt.add_argument("--microbatches", type=int, default=0,

@@ -10,7 +10,11 @@ log-sum-exp; backward recomputes P tile-wise and produces all six gradients:
   drel = Σ_b dW
 
 ONE batch-chunked kernel produces all six gradients, grid
-(B/block_b, H, nQ): each cell loops ``block_b`` batch rows in-kernel, so
+(B/block_b, H, nQ); dsum = rowsum(dO ∘ O) is computed in-kernel from the
+streamed dO/O tiles (as an XLA pass it is a minor-dim lane reduction,
+~10× over roofline), and the packed/padded forward streams ride the VJP
+residuals so no concat/pad pass re-runs in the backward. Each grid cell
+loops ``block_b`` batch rows in-kernel, so
 - dk/dv/dpos_k accumulate over the innermost q-tile axis (consecutive
   revisits of the same output block — the only legal Pallas accumulation),
 - drel accumulates over the in-cell batch loop into a per-batch-chunk
@@ -77,7 +81,11 @@ def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
             # ModelConfig.flash_skip_max_subtract + a numerics test.
             # exp(NEG_INF pad cols) underflows to exactly 0.
             e = jnp.exp(w)
-            denom = jnp.sum(e, axis=-1, keepdims=True)
+            # epsilon floor: fully-masked rows (batch-pad rows the backward
+            # now REUSES instead of re-padding) would hit denom=0 → o=NaN,
+            # lse=-inf → p=inf in the backward; the floor makes them o=0,
+            # lse≈-87, p=exp(w−lse)=0 — exactly the zero rows bwd expects
+            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-38)
             lse_ref[c] = jnp.log(denom).astype(jnp.float32)
         else:
             m = jnp.max(w, axis=-1, keepdims=True)
@@ -96,7 +104,7 @@ def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
 
 def _bwd_kernel_fused(
     qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
-    do_ref, lse_ref, dsum_ref,
+    do_ref, lse_ref, o_ref,
     dqc_ref, dkc_ref, dv_ref, *maybe_drel,
     causal, block_q, block_b, need_drel,
 ):
@@ -135,7 +143,12 @@ def _bwd_kernel_fused(
             do, v_ref[c].astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dw = p * (dp - dsum_ref[c])  # [BQ, S]
+        # dsum = rowsum(dO ∘ O) computed HERE over the VMEM-resident tiles:
+        # as a standalone XLA pass it is a minor-dim (lane) reduction over
+        # [B, H, T, D] — measured 1.6M cycles/layer in the compiled-HLO
+        # ranking, ~10× over its HBM roofline
+        ds = jnp.sum(do * o_ref[c].astype(jnp.float32), axis=-1, keepdims=True)
+        dw = p * (dp - ds)  # [BQ, S]
         if need_drel:
             drel_acc += dw
 
@@ -190,7 +203,7 @@ def _pack_pad(q, k, v, pq, pk, rel, kpad, block_q):
 
 
 def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
-         skip_max=False):
+         skip_max=False, want_res=False):
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, T, D = q.shape
     S = k.shape[2]
@@ -228,27 +241,34 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
         ],
         interpret=interpret,
     )(qc, kc, v2, rel2, kpad2.astype(jnp.int32))
+    if want_res:
+        # hand the packed/padded streams + padded o/lse to the backward so
+        # it re-runs NONE of the concat/pad passes (they ranked ~1.3M
+        # cycles/layer in the compiled-HLO cycle ranking)
+        return o[:B, :, :T], (qc, kc, v2, rel, kpad, o, lse)
     return o[:B, :, :T], lse[:B, :, :T, 0]
 
 
-def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
-         o, lse, do, block_b=None):
+def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
     # Empirical scoped-VMEM limits (v5e, 16 MB): block_b=4 @ (bq128, S1024)
     # = 16.17 MB OOM; block_b=2 @ (bq256, S1152) = 19.15 MB OOM; block_b=2
     # fits at (bq256, S1024) and (bq128, S1152). Long-S pretrain pairs
     # (S≈1412→Sp1536) drop to block_b=1.
+    #
+    # ``res`` carries the forward's PACKED+PADDED streams (qc, kc, v2) and
+    # padded o/lse, so no concat/pad pass re-runs here; only ``do`` (which
+    # arrives unpadded from XLA) and the tiny rel/kpad pads are computed.
+    qc2, kc2, v2, rel, kpad, o_p, lse_p = res
     interpret = interpret or jax.default_backend() == "cpu"
-    B, H, T, D = q.shape
-    S = k.shape[2]
-    qc2, kc2, v2, rel2, kpad2, Tp, Sp, Dc = _pack_pad(
-        q, k, v, pq, pk, rel, kpad, block_q
+    B, H, T, D = do.shape
+    S = kpad.shape[1]
+    Bp_f, _, Tp, Dc = qc2.shape
+    Sp = kc2.shape[2]
+    rel2 = jnp.pad(
+        rel, ((0, 0), (0, Tp - rel.shape[1]), (0, Sp - rel.shape[2]))
     )
+    kpad2 = jnp.pad(kpad, ((0, 0), (0, Sp - S)), constant_values=True)
     do2 = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    lse2 = jnp.pad(lse, ((0, 0), (0, 0), (0, Tp - T)))[..., None]
-    dsum = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )
-    dsum2 = jnp.pad(dsum, ((0, 0), (0, 0), (0, Tp - T)))[..., None]
 
     nq = Tp // block_q
     if block_b is None:
@@ -257,11 +277,17 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
     # p = exp(NEG_INF − 0) = 0 and every gradient contribution vanishes
     BC = max(1, min(block_b, B))
     Bp = _round_up(B, BC)
+    if Bp <= Bp_f:
+        # forward rows past B are exactly the zero/kpad-True pad rows the
+        # backward would build — slice instead of re-padding
+        qc2, kc2, v2 = qc2[:Bp], kc2[:Bp], v2[:Bp]
+        o_p, lse_p = o_p[:Bp], lse_p[:Bp]
+    else:
+        bs = ((0, Bp - Bp_f), (0, 0), (0, 0), (0, 0))
+        qc2, kc2, v2 = jnp.pad(qc2, bs), jnp.pad(kc2, bs), jnp.pad(v2, bs)
+        o_p, lse_p = jnp.pad(o_p, bs), jnp.pad(lse_p, bs)
     if Bp != B:
-        bs = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
-        qc2, kc2, v2, do2 = (jnp.pad(a, bs) for a in (qc2, kc2, v2, do2))
-        ls = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
-        lse2, dsum2 = jnp.pad(lse2, ls), jnp.pad(dsum2, ls)
+        do2 = jnp.pad(do2, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
         kpad2 = jnp.pad(kpad2, ((0, Bp - B), (0, 0)), constant_values=True)
     kpad_i = kpad2.astype(jnp.int32)
     nbc = Bp // BC
@@ -274,7 +300,7 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
         pl.BlockSpec((Bp, Sp), lambda b, h, i: (0, 0)),
         pl.BlockSpec((BC, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((BC, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
     ]
     out_specs = [
         pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
@@ -305,7 +331,7 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(qc2, kc2, v2, rel2, kpad_i, do2, lse2, dsum2)
+    )(qc2, kc2, v2, rel2, kpad_i, do2, lse_p, o_p)
     if need_drel:
         dqc, dkc, dv, drel_p = outs
         # slice to the INPUT rel's shape (it may arrive pre-padded to
@@ -319,12 +345,13 @@ def _bwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, need_drel,
 
     qsl = (slice(0, B), slice(None), slice(0, T))
     ksl = (slice(0, B), slice(None), slice(0, S))
+    qkdt = qc2.dtype
     return (
-        dqc[qsl + (slice(0, D),)].astype(q.dtype),
-        dkc[ksl + (slice(0, D),)].astype(k.dtype),
-        dv[ksl].astype(v.dtype),
-        dqc[qsl + (slice(D, 2 * D),)].astype(pq.dtype),
-        dkc[ksl + (slice(D, 2 * D),)].astype(pk.dtype),
+        dqc[qsl + (slice(0, D),)].astype(qkdt),
+        dkc[ksl + (slice(0, D),)].astype(qkdt),
+        dv[ksl].astype(v2.dtype),
+        dqc[qsl + (slice(D, 2 * D),)].astype(qkdt),
+        dkc[ksl + (slice(D, 2 * D),)].astype(qkdt),
         drel,
     )
 
@@ -349,20 +376,17 @@ def flash_attention_bias_trainable(
 
 def _vjp_fwd(q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret,
              need_drel, skip_max):
-    o, lse = _fwd(
+    return _fwd(
         q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret,
-        skip_max=skip_max,
+        skip_max=skip_max, want_res=True,
     )
-    return o, (q, k, v, pos_q, pos_k, rel, kpad, o, lse)
 
 
 def _vjp_bwd(causal, block_q, interpret, need_drel, skip_max, res, do):
     # lse is the same mathematical value either way; the backward recompute
     # p = exp(w − lse) never overflows, so it is skip_max-agnostic
-    q, k, v, pos_q, pos_k, rel, kpad, o, lse = res
     dq, dk, dv, dpq, dpk, drel = _bwd(
-        q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret, need_drel,
-        o, lse, do,
+        res, causal, block_q, interpret, need_drel, do,
     )
     return dq, dk, dv, dpq, dpk, drel, None
 

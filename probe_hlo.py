@@ -26,7 +26,10 @@ def build(variant: str):
     from musketeer_tpu.config import ofa_base
     from musketeer_tpu.models import ofa
 
-    cfg = replace(ofa_base(), dtype="bfloat16", use_flash_attention=True)
+    unroll = variant.endswith("_unroll")
+    variant = variant.removesuffix("_unroll")
+    cfg = replace(ofa_base(), dtype="bfloat16", use_flash_attention=True,
+                  unroll_layers=unroll)
     params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
     B, T = 8, 20
     rng = np.random.RandomState(1)
@@ -45,13 +48,21 @@ def build(variant: str):
     if variant == "full":
         loss = lambda p, i: ce(ofa.forward(p, cfg, src, prev, imgs + i, masks))
     elif variant == "encoder":
-        loss = lambda p, i: ofa.encode(p, cfg, src, imgs + i, masks).x.astype(
-            jnp.float32).mean()
+        # random-cotangent loss: a mean() loss hands every matmul a
+        # constant cotangent, letting XLA degenerate dW = xᵀ·dy into a
+        # rank-1 outer product — the probe would under-report matmul bwd
+        r_enc = jnp.asarray(rng.randn(B, 980, 768), jnp.float32)
+
+        def loss(p, i):
+            x = ofa.encode(p, cfg, src, imgs + i, masks).x
+            return jnp.sum(x.astype(jnp.float32) * r_enc[:, : x.shape[1]])
     elif variant == "features":
+        r_feat = jnp.asarray(rng.randn(B, T, 768), jnp.float32)
+
         def loss(p, i):
             enc = ofa.encode(p, cfg, src, imgs + i, masks)
-            return ofa.decode(p, cfg, prev, enc, features_only=True).astype(
-                jnp.float32).mean()
+            f = ofa.decode(p, cfg, prev, enc, features_only=True)
+            return jnp.sum(f.astype(jnp.float32) * r_feat)
     else:
         raise SystemExit(f"unknown variant {variant}")
 

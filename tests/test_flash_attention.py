@@ -103,6 +103,43 @@ def test_model_flash_grads_match_naive():
     )
 
 
+@pytest.mark.parametrize("B,skip_max", [(3, True), (5, False)])
+def test_vjp_odd_batch_pad_rows(B, skip_max):
+    """Odd batch sizes make the forward's batch pad (block_b=4) differ from
+    the backward's (block_b=2): the bwd now REUSES the forward's padded
+    rows via the saved residuals instead of re-padding. Those reused rows
+    are fully kpad-masked; under skip_max they would be 0/0=NaN without
+    the denom floor. Gradients must stay finite and match the XLA path."""
+    from musketeer_tpu.ops.flash_attention_bwd import (
+        flash_attention_bias_trainable,
+    )
+
+    rng = np.random.RandomState(B)
+    H, S, D = 4, 130, 64
+    mk = lambda sh: jnp.asarray(rng.randn(*sh) * 0.3, jnp.float32)
+    q, k, v = mk((B, H, S, D)), mk((B, H, S, D)), mk((B, H, S, D))
+    pq, pk = mk((B, H, S, D)), mk((B, H, S, D))
+    rel = mk((H, S, S))
+    kpad = jnp.zeros((B, S), bool).at[0, -11:].set(True)
+    r = mk((B, H, S, D))  # random cotangent
+
+    def f(q_, k_, v_):
+        o = flash_attention_bias_trainable(
+            q_, k_, v_, pq, pk, rel, kpad, False, 128, False, True, skip_max
+        )
+        return jnp.sum(o * r)
+
+    def f_ref(q_, k_, v_):
+        o = attention_reference(q_, k_, v_, pq, pk, rel, kpad)
+        return jnp.sum(o * r)
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        assert bool(jnp.all(jnp.isfinite(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_skip_max_subtract_numerics():
     """Gated fast softmax (no max-subtract): outputs must match the safe
     kernel to bf16 tolerance on REAL-SCALE activations (logit magnitudes
