@@ -103,8 +103,12 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
 
     # layer remat: the 9-task step (R-Drop-doubled, 6 vision encoders +
     # a 1025-token code decode) exceeds one chip's 16G without activation
-    # checkpointing — the measured number is the honest production config
-    cfg = _replace(cfg, remat=True)
+    # checkpointing — the measured number is the honest production config.
+    # unroll_layers: python-loop the layer stacks so backward residuals are
+    # plain buffers, not dynamic-update-slice stacks (measured -10% on the
+    # single-task fwd+bwd, probe_unroll r3; O(L) compile is one-time via
+    # the persistent cache)
+    cfg = _replace(cfg, remat=True, unroll_layers=True)
     crit = CriterionConfig(
         label_smoothing=0.1, use_rdrop=True,
         drop_worst_ratio=0.2, drop_worst_after=6000,
@@ -325,10 +329,13 @@ def main():
     )
     tgt = jnp.asarray(rng_t.randint(4, 50000, (Bt, Tt)), jnp.int32)
 
+    # unrolled layer loops on the train path (probe_unroll: 112.3→100.8 ms)
+    cfg_train = replace(cfg, unroll_layers=True)
+
     @jax.jit
     def train_fwd_bwd(params, src, imgs, masks, i):
         def loss_fn(p):
-            logits = ofa.forward(p, cfg, src, prev, imgs + i, masks)
+            logits = ofa.forward(p, cfg_train, src, prev, imgs + i, masks)
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
 
