@@ -583,7 +583,7 @@ def encode(
         else:
             feats = resnet_forward(
                 enc["resnet"], patch_images.astype(dtype), train=train_bn,
-                unroll=cfg.unroll_layers,
+                unroll=cfg.unroll_layers, remat=cfg.remat,
             )
         Bi, h, w, _ = feats.shape
         image_embed = feats.reshape(Bi, h * w, -1)
@@ -661,6 +661,38 @@ def encode(
         and not cfg.encoder_prompt
         and (deterministic or cfg.attention_dropout == 0.0)
     )
+    S_orig, padding_mask_out, pos_out = S, padding_mask, pos_for_bias
+    # pad-once only when layers are UNROLLED or nothing needs residuals
+    # saved (pure inference): under lax.scan every residual the scan stacks
+    # for the backward grows to the padded length, which measured as a net
+    # loss (probe_unroll r3d: scan 112.5 → 116.4 ms) while unroll gained.
+    _pad_once = cfg.unroll_layers or (deterministic and rngs is None)
+    if use_flash and _pad_once:
+        # Pad the encoder stream ONCE to the flash kernel's padded length:
+        # every layer's _pack_pad then sees input shape == padded shape and
+        # its per-stream pad/unpad passes become zero-width (XLA elides
+        # them) — those pads ranked ~9 M cycles (≈6 ms/step) in the
+        # compiled-HLO cycle ranking of the unrolled encoder fwd+bwd
+        # (probe_hlo r3). Padded rows ride as kpad=True keys (NEG_INF
+        # masked in-kernel); the garbage padded query rows are sliced off
+        # after the layer stack.
+        # Gate on the pad ratio: padding the whole stream runs every
+        # projection/LN/FFN at Spad rows, so a short text-only sequence
+        # (S=80 → 128 = +60 % matmul rows) would pay more in MXU work than
+        # the elided pad passes save. The encoder's vision+text shape
+        # (S=980 → 1024, +4.5 %) is the case this targets.
+        _Sk0 = -(-S // 128) * 128
+        _bq0 = 256 if (S >= 256 and _Sk0 <= 1024) else 128
+        Spad = -(-S // _bq0) * _bq0
+        if Spad != S and Spad <= S * 1.125:
+            x = jnp.pad(x, ((0, 0), (0, Spad - S), (0, 0)))
+            padding_mask = jnp.pad(
+                padding_mask, ((0, 0), (0, Spad - S)), constant_values=True
+            )
+            pos_for_bias = jnp.pad(
+                pos_for_bias, ((0, 0), (0, Spad - S), (0, 0))
+            )
+            S = Spad
     enc_prompt_kv = (
         _prompt_kv(
             enc["prompt_embedding"], cfg.encoder_layers, cfg.attention_heads,
@@ -723,7 +755,7 @@ def encode(
             # composed in compute dtype: the kernel consumes bf16 rel, so an
             # fp32 intermediate would just add a [H,S,S] convert pass
             rel = jnp.zeros((H, _Sq, _Sk), dtype)
-            rel = rel.at[:, S - T : S, S - T : S].set(rel_tok)
+            rel = rel.at[:, S_orig - T : S_orig, S_orig - T : S_orig].set(rel_tok)
             if N:
                 rel = rel.at[:, :N, :N].set(rel_img)
             fwd = lambda xx: _encoder_layer(
@@ -815,7 +847,7 @@ def encode(
             # rel composed at the kernel's padded size (see layer_body below)
             layer_p, rel_tok, rel_img, _dp = layer_in
             rel = jnp.zeros((Hh, _Sq, _Sk), dtype)
-            rel = rel.at[:, S - T : S, S - T : S].set(rel_tok)
+            rel = rel.at[:, S_orig - T : S_orig, S_orig - T : S_orig].set(rel_tok)
             if N:
                 rel = rel.at[:, :N, :N].set(rel_img)
             new_x = _encoder_layer(
@@ -832,8 +864,10 @@ def encode(
     else:
         x = _scan_or_unroll(layer_body, x, xs, cfg.unroll_layers)
 
+    if S != S_orig:
+        x = x[:, :S_orig]
     x = _layer_norm(enc["layer_norm"], x)
-    return EncoderOut(x=x, padding_mask=padding_mask, pos_embed=pos_for_bias)
+    return EncoderOut(x=x, padding_mask=padding_mask_out, pos_embed=pos_out)
 
 
 # ---------------------------------------------------------------------------
@@ -1174,6 +1208,22 @@ def decode(
     enc_pad = encoder_out.padding_mask
 
     if use_flash:
+        # Pad the encoder stream ONCE for the per-layer cross-attn K/V
+        # projections (same rationale + pad-ratio gate as encode()'s
+        # pad-once): the flash kernel pads keys to a 128 multiple per layer
+        # otherwise — fwd AND re-sliced in bwd, ×decoder_layers.
+        S_enc = enc_x.shape[1]
+        enc_pos = encoder_out.pos_embed
+        _Spad_c = -(-S_enc // 128) * 128
+        _pad_once = cfg.unroll_layers or (deterministic and rngs is None)
+        if _pad_once and _Spad_c != S_enc and _Spad_c <= S_enc * 1.125:
+            enc_x = jnp.pad(enc_x, ((0, 0), (0, _Spad_c - S_enc), (0, 0)))
+            enc_pad = jnp.pad(
+                enc_pad, ((0, 0), (0, _Spad_c - S_enc)), constant_values=True
+            )
+            enc_pos = jnp.pad(
+                enc_pos, ((0, 0), (0, _Spad_c - S_enc), (0, 0))
+            )
         all_code = code_masks is not None  # static (code_masks_all checked)
         if all_code:
             # all-code positions: image grid pos embeds + image_pos_ln
@@ -1195,7 +1245,7 @@ def decode(
         pos_k = _pos_proj(dec["self_pos_k_linear"], pe, cfg, False, dtype)
         cross_pos_q = _pos_proj(dec["cross_pos_q_linear"], pe, cfg, True, dtype)
         cross_pos_k = _pos_proj(
-            dec["cross_pos_k_linear"], encoder_out.pos_embed, cfg, False, dtype
+            dec["cross_pos_k_linear"], enc_pos, cfg, False, dtype
         )
         x = _decoder_embed(
             params, cfg, prev_output_tokens, tgt_pos_embed,

@@ -135,15 +135,22 @@ def _bottleneck(x, p, train: bool, stride: int = 1):
     return jax.nn.relu(identity + out)
 
 
-def _stage(x, p, train: bool, stride: int, unroll: bool = False):
+def _stage(x, p, train: bool, stride: int, unroll: bool = False,
+           remat: bool = True):
     x = _bottleneck(x, p["first"], train, stride=stride)
     if p["rest"] is not None:
-        # remat each scanned block: without it the scan stacks every
-        # block's input activations for the backward ([n_blocks, B, h, w, C]
-        # — ResNet-101's 22-block layer3 alone held ~1.4 GB at the packed
-        # joint-step batch). Recomputing a bottleneck is 2 convs of cheap
-        # FLOPs vs the dominant HBM cost.
-        block = jax.checkpoint(lambda hh, bp: _bottleneck(hh, bp, train))
+        # remat each SCANNED block always: without it the scan stacks every
+        # block's input activations for the backward via dynamic-update-slice
+        # ([n_blocks, B, h, w, C] — ResNet-101's 22-block layer3 alone held
+        # ~1.4 GB at the packed joint-step batch), and the DUS stacking
+        # passes measured as a net loss (probe_train r3d: encoder fwd+bwd
+        # 99.1 → 103.8 ms with scan+noremat). UNROLLED blocks keep plain
+        # per-block residual buffers, so there remat only trades recompute
+        # convs (19.5 M cycles in the compiled-HLO ranking) for HBM — the
+        # flag follows cfg.remat in that case.
+        block = lambda hh, bp: _bottleneck(hh, bp, train)
+        if remat or not unroll:
+            block = jax.checkpoint(block)
         if unroll:
             # python loop with static slices: backward residuals stay plain
             # buffers (no dynamic-update-slice stacking passes)
@@ -159,7 +166,7 @@ def _stage(x, p, train: bool, stride: int, unroll: bool = False):
 
 def resnet_forward(
     params: Params, images: jnp.ndarray, train: bool = False,
-    unroll: bool = False,
+    unroll: bool = False, remat: bool = True,
 ) -> jnp.ndarray:
     """images: [B, H, W, 3] → features [B, H/16, W/16, 1024]."""
     x = _conv(images, params["conv1"], stride=2)
@@ -173,7 +180,7 @@ def resnet_forward(
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    x = _stage(x, params["layer1"], train, stride=1, unroll=unroll)
-    x = _stage(x, params["layer2"], train, stride=2, unroll=unroll)
-    x = _stage(x, params["layer3"], train, stride=2, unroll=unroll)
+    x = _stage(x, params["layer1"], train, stride=1, unroll=unroll, remat=remat)
+    x = _stage(x, params["layer2"], train, stride=2, unroll=unroll, remat=remat)
+    x = _stage(x, params["layer3"], train, stride=2, unroll=unroll, remat=remat)
     return x

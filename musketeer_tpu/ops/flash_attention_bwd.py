@@ -313,13 +313,17 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
         jax.ShapeDtypeStruct((Bp, H, Sp, D), jnp.float32),
     ]
     if need_drel:
-        # per-batch-chunk fp32 partials; the nbc-way sum happens in XLA
-        # (nbc is 1 or 2 at the training shapes — a cheap reduce)
+        # per-batch-chunk partials in the REL dtype (bf16 on the TPU train
+        # path): the in-kernel accumulate over block_b rows stays fp32; only
+        # the per-chunk partial is rounded, and the final drel is cast to
+        # rel.dtype anyway. fp32 partials were [nbc, H, Tp, Sp] ≈ 200 MB
+        # write + re-read per encoder layer — the nbc-way sum ranked 1.6 M
+        # cycles/layer in the compiled-HLO ranking; bf16 halves that traffic.
         out_specs.append(
             pl.BlockSpec((None, None, block_q, Sp), lambda b, h, i: (b, h, i, 0))
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((nbc, H, Tp, Sp), jnp.float32)
+            jax.ShapeDtypeStruct((nbc, H, Tp, Sp), rel.dtype)
         )
     outs = pl.pallas_call(
         functools.partial(
@@ -335,8 +339,9 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
     if need_drel:
         dqc, dkc, dv, drel_p = outs
         # slice to the INPUT rel's shape (it may arrive pre-padded to
-        # [H, Tp, Sp]; the vjp must return a matching-shape cotangent)
-        drel = jnp.sum(drel_p, axis=0)[
+        # [H, Tp, Sp]; the vjp must return a matching-shape cotangent);
+        # fp32 accumulate over the nbc chunks (convert fuses into the reduce)
+        drel = jnp.sum(drel_p.astype(jnp.float32), axis=0)[
             :, : rel.shape[1], : rel.shape[2]
         ].astype(rel.dtype)
     else:

@@ -241,7 +241,7 @@ def _pack_vision_stem(params, model_cfg, batches: Dict[str, TaskBatch]):
         )
         feats = resnet_forward(
             params["encoder"]["resnet"], imgs.astype(dtype), train=False,
-            unroll=model_cfg.unroll_layers,
+            unroll=model_cfg.unroll_layers, remat=model_cfg.remat,
         )
         off = 0
         for n in names:
