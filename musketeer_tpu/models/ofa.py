@@ -278,13 +278,21 @@ def _prompt_kv(embed: jnp.ndarray, L: int, H: int, hd: int, B: int, dtype):
 
 def _pos_proj(lin: Params, pos_embed: jnp.ndarray, cfg: ModelConfig, scale_q: bool, dtype):
     """LN'd positional embeds → per-head projections [B, H, T, hd] for the
-    in-kernel abs-pos bias product (replaces materializing [B,H,T,T])."""
+    in-kernel abs-pos bias product (replaces materializing [B,H,T,T]).
+
+    Runs the matmul in the COMPUTE dtype: the kernel consumes the result
+    cast to bf16 anyway, an fp32 matmul runs the MXU at 1/8 rate (the two
+    projections + grads ranked ~2 M cycles in the compiled-HLO ranking),
+    and the reference computes this very product in fp16
+    (unify_transformer.py get_pos_info under fairseq --fp16)."""
     B, T, _ = pos_embed.shape
     H = cfg.attention_heads
-    x = pos_embed.astype(jnp.float32) @ lin["w"] + lin["b"]
+    x = pos_embed.astype(dtype) @ lin["w"].astype(dtype) + lin["b"].astype(dtype)
     x = x.reshape(B, T, H, -1).transpose(0, 2, 1, 3)
     if scale_q:
-        x = x * float(cfg.embed_dim / H * cfg.attn_scale_factor) ** -0.5
+        x = x * jnp.asarray(
+            float(cfg.embed_dim / H * cfg.attn_scale_factor) ** -0.5, dtype
+        )
     return x.astype(dtype)
 
 

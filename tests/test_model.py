@@ -380,3 +380,40 @@ def test_unroll_layers_matches_scan(tiny):
         ),
         g0, g1,
     )
+
+
+def test_pad_once_flash_stream_matches_xla(tiny):
+    """The pad-once flash stream (sequence padded to the kernel tile before
+    the layer stack, sliced after) must match the XLA attention path at an
+    S that actually triggers it: img 64 -> 16 patches + T=104 text = S=120,
+    which pads to 128 inside the 1.125 pad-ratio gate. Covers encoder and
+    decoder cross-attn pad-once, forward AND grads, unroll and scan."""
+    from dataclasses import replace
+
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg, T=104, img=64)
+    prev = jnp.asarray([[cfg.bos, 5, 6, 7], [cfg.bos, 8, 9, cfg.pad]], jnp.int32)
+
+    def loss(p, c):
+        logits = ofa.forward(p, c, src, prev, imgs, masks)
+        return jnp.sum(logits.astype(jnp.float32) ** 2) * 1e-4, logits
+
+    variants = {
+        "xla": cfg,
+        "flash_scan": replace(cfg, use_flash_attention=True),
+        "flash_unroll": replace(cfg, use_flash_attention=True, unroll_layers=True),
+    }
+    outs = {}
+    for name, c in variants.items():
+        (l, logits), g = jax.value_and_grad(loss, has_aux=True)(params, c)
+        outs[name] = (np.asarray(l), np.asarray(logits), g)
+
+    for name in ("flash_scan", "flash_unroll"):
+        np.testing.assert_allclose(outs[name][0], outs["xla"][0], rtol=2e-5)
+        np.testing.assert_allclose(outs[name][1], outs["xla"][1], rtol=2e-4, atol=2e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+            ),
+            outs[name][2], outs["xla"][2],
+        )
