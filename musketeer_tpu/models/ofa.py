@@ -1014,6 +1014,11 @@ def _rel_gather(table: jnp.ndarray, rp: jnp.ndarray, dtype=None) -> jnp.ndarray:
         table = table.astype(dtype)
     L, Vb, H = table.shape
     T = rp.shape[0]
+    # NOTE (negative result, r3): gathering along the table's minor axis
+    # ([L·H, Vb] columns → output directly in [L, H, T, T], no transpose)
+    # measured 4.8 ms SLOWER on the unrolled encoder fwd+bwd despite
+    # eliding the [T², L·H] → [L, H, T, T] transpose — XLA's minor-axis
+    # gather is far off roofline. Keep the major-axis gather + transpose.
     flat = table.transpose(1, 0, 2).reshape(Vb, L * H)[rp.reshape(-1)]
     return flat.reshape(T, T, L, H).transpose(2, 3, 0, 1)
 
@@ -1265,6 +1270,29 @@ def decode(
         )
         rel_flash = rel_img if all_code else rel_tok
 
+        # pad-once for the TARGET stream (image-gen code targets:
+        # T=1025 → 1152, ratio 1.124): same rationale + gates as the
+        # encoder pad-once. Padded rows ride as kpad=True keys (and the
+        # causal mask already hides cols ≥ T from real rows); the garbage
+        # padded rows are sliced off before the final LN/output projection.
+        _SkT = -(-T // 128) * 128
+        _bqT = 256 if (T >= 256 and _SkT <= 1024) else 128
+        Tpad = -(-T // _bqT) * _bqT
+        if _pad_once and Tpad != T and Tpad <= T * 1.125:
+            tpw = ((0, 0), (0, Tpad - T), (0, 0))
+            hpw = ((0, 0), (0, 0), (0, Tpad - T), (0, 0))
+            x = jnp.pad(x, tpw)
+            self_pad = jnp.pad(
+                self_pad, ((0, 0), (0, Tpad - T)), constant_values=True
+            )
+            pos_q = jnp.pad(pos_q, hpw)
+            pos_k = jnp.pad(pos_k, hpw)
+            cross_pos_q = jnp.pad(cross_pos_q, hpw)
+            rel_flash = jnp.pad(
+                rel_flash, ((0, 0), (0, 0), (0, Tpad - T), (0, Tpad - T))
+            )
+            T = Tpad
+
         def layer_body(x, layer_in):
             layer_p, rt, dp_rate = layer_in
             fwd = lambda xx: _decoder_layer(
@@ -1365,6 +1393,8 @@ def decode(
         x = out["x"].reshape((B,) + out["x"].shape[2:])
     else:
         x = _scan_or_unroll(layer_body, x, xs, cfg.unroll_layers)
+    if x.shape[1] != prev_output_tokens.shape[1]:  # target pad-once rows
+        x = x[:, : prev_output_tokens.shape[1]]
     x = _layer_norm(dec["layer_norm"], x)
     if features_only:
         return x

@@ -386,13 +386,18 @@ def test_pad_once_flash_stream_matches_xla(tiny):
     """The pad-once flash stream (sequence padded to the kernel tile before
     the layer stack, sliced after) must match the XLA attention path at an
     S that actually triggers it: img 64 -> 16 patches + T=104 text = S=120,
-    which pads to 128 inside the 1.125 pad-ratio gate. Covers encoder and
-    decoder cross-attn pad-once, forward AND grads, unroll and scan."""
+    which pads to 128 inside the 1.125 pad-ratio gate. Covers encoder,
+    decoder cross-attn AND decoder target (T=120 → 128) pad-once, forward
+    AND grads, unroll and scan."""
     from dataclasses import replace
 
     cfg, params = tiny
     src, imgs, masks = make_batch(cfg, T=104, img=64)
-    prev = jnp.asarray([[cfg.bos, 5, 6, 7], [cfg.bos, 8, 9, cfg.pad]], jnp.int32)
+    rng = np.random.RandomState(7)
+    prev = rng.randint(4, cfg.vocab_size - 1, (2, 120)).astype(np.int32)
+    prev[:, 0] = cfg.bos
+    prev[1, -3:] = cfg.pad  # ragged target lengths
+    prev = jnp.asarray(prev)
 
     def loss(p, c):
         logits = ofa.forward(p, c, src, prev, imgs, masks)
