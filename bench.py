@@ -133,9 +133,15 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
     joint_s = timed_step(step_fn, state, batches)
     # packing ablation on the full 9-task step: text packing (gigaword +
     # text_infilling bucket) + vision-stem packing (6 vision tasks → ONE
-    # batch-12 ResNet pass) vs the reference's per-task sequential layout
+    # batch-12 ResNet pass) vs the reference's per-task sequential layout.
+    # The unpacked variant runs SCANNED layer stacks: the flat unrolled
+    # 9-forward graph gives the XLA scheduler enough freedom to overlap
+    # task forwards and its peak HBM OOMs one chip (r3e-g triage,
+    # probe_joint.py) — scan serializes it, matching how this ablation was
+    # originally measured.
     step_unpacked = make_train_step(
-        cfg, crit, optim, donate=False, pack_text=False, pack_vision=False
+        _replace(cfg, unroll_layers=False), crit, optim, donate=False,
+        pack_text=False, pack_vision=False
     )
     joint_unpacked_s = timed_step(step_unpacked, state, batches)
     out = {

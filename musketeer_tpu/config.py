@@ -91,6 +91,11 @@ class ModelConfig:
     # max-subtract pass (safe while |attention logits| < ~80; validated by
     # tests/test_flash_attention.py on real-scale activations)
     flash_skip_max_subtract: bool = False
+    # pad the encoder/decoder streams ONCE to the flash kernel's tile
+    # (unrolled/inference paths, small pad ratios) instead of per-layer
+    # pad/unpad passes; costs ~4.5 % more activation memory at the 980→1024
+    # encoder shape — disable when a step is at the HBM edge
+    flash_pad_once: bool = True
     # GPipe pipeline parallelism over the mesh 'pipe' axis: encoder/decoder
     # layer stacks run as P stages with this many microbatches (0 = off;
     # requires use_flash_attention, a 'pipe' mesh axis, and B % M == 0)

@@ -674,7 +674,9 @@ def encode(
     # saved (pure inference): under lax.scan every residual the scan stacks
     # for the backward grows to the padded length, which measured as a net
     # loss (probe_unroll r3d: scan 112.5 → 116.4 ms) while unroll gained.
-    _pad_once = cfg.unroll_layers or (deterministic and rngs is None)
+    _pad_once = cfg.flash_pad_once and (
+        cfg.unroll_layers or (deterministic and rngs is None)
+    )
     if use_flash and _pad_once:
         # Pad the encoder stream ONCE to the flash kernel's padded length:
         # every layer's _pack_pad then sees input shape == padded shape and
@@ -688,11 +690,14 @@ def encode(
         # projection/LN/FFN at Spad rows, so a short text-only sequence
         # (S=80 → 128 = +60 % matmul rows) would pay more in MXU work than
         # the elided pad passes save. The encoder's vision+text shape
-        # (S=980 → 1024, +4.5 %) is the case this targets.
+        # (S=980 → 1024, +4.5 %) is the case this targets. 1.1 (not 1.125)
+        # keeps image-gen code targets (T=1025 → 1152, +12 %) on the
+        # unpadded path — padding them OOM'd the 9-task joint step's
+        # unpacked ablation on one chip (bench r3e).
         _Sk0 = -(-S // 128) * 128
         _bq0 = 256 if (S >= 256 and _Sk0 <= 1024) else 128
         Spad = -(-S // _bq0) * _bq0
-        if Spad != S and Spad <= S * 1.125:
+        if Spad != S and Spad <= S * 1.1:
             x = jnp.pad(x, ((0, 0), (0, Spad - S), (0, 0)))
             padding_mask = jnp.pad(
                 padding_mask, ((0, 0), (0, Spad - S)), constant_values=True
@@ -1228,8 +1233,10 @@ def decode(
         S_enc = enc_x.shape[1]
         enc_pos = encoder_out.pos_embed
         _Spad_c = -(-S_enc // 128) * 128
-        _pad_once = cfg.unroll_layers or (deterministic and rngs is None)
-        if _pad_once and _Spad_c != S_enc and _Spad_c <= S_enc * 1.125:
+        _pad_once = cfg.flash_pad_once and (
+            cfg.unroll_layers or (deterministic and rngs is None)
+        )
+        if _pad_once and _Spad_c != S_enc and _Spad_c <= S_enc * 1.1:
             enc_x = jnp.pad(enc_x, ((0, 0), (0, _Spad_c - S_enc), (0, 0)))
             enc_pad = jnp.pad(
                 enc_pad, ((0, 0), (0, _Spad_c - S_enc)), constant_values=True
@@ -1278,7 +1285,7 @@ def decode(
         _SkT = -(-T // 128) * 128
         _bqT = 256 if (T >= 256 and _SkT <= 1024) else 128
         Tpad = -(-T // _bqT) * _bqT
-        if _pad_once and Tpad != T and Tpad <= T * 1.125:
+        if _pad_once and Tpad != T and Tpad <= T * 1.1:
             tpw = ((0, 0), (0, Tpad - T), (0, 0))
             hpw = ((0, 0), (0, 0), (0, Tpad - T), (0, 0))
             x = jnp.pad(x, tpw)

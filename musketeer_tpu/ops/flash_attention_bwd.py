@@ -340,8 +340,10 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
         dqc, dkc, dv, drel_p = outs
         # slice to the INPUT rel's shape (it may arrive pre-padded to
         # [H, Tp, Sp]; the vjp must return a matching-shape cotangent);
-        # fp32 accumulate over the nbc chunks (convert fuses into the reduce)
-        drel = jnp.sum(drel_p.astype(jnp.float32), axis=0)[
+        # fp32 ACCUMULATION dtype on the reduce itself — a separate
+        # .astype(f32) can materialize a full fp32 copy of the partials
+        # (+200 MB/layer temp at the encoder shape)
+        drel = jnp.sum(drel_p, axis=0, dtype=jnp.float32)[
             :, : rel.shape[1], : rel.shape[2]
         ].astype(rel.dtype)
     else:
