@@ -690,10 +690,15 @@ def encode(
         # projection/LN/FFN at Spad rows, so a short text-only sequence
         # (S=80 → 128 = +60 % matmul rows) would pay more in MXU work than
         # the elided pad passes save. The encoder's vision+text shape
-        # (S=980 → 1024, +4.5 %) is the case this targets. 1.1 (not 1.125)
-        # keeps image-gen code targets (T=1025 → 1152, +12 %) on the
-        # unpadded path — padding them OOM'd the 9-task joint step's
-        # unpacked ablation on one chip (bench r3e).
+        # (S=980 → 1024, +4.5 %) is the case this targets. MEASURED
+        # negative result (bench r3i): widening the gate to 1.13 so the
+        # inference encoder (S≈910 → 1024, ratio 1.125) qualifies made the
+        # headline WORSE (186.8 → 184.0 samples/s) — the +12.5 % matmul
+        # rows outweigh the elided pad passes, and the padded cross-KV
+        # precompute adds ~1.7 ms to the decode phase. 1.1 is the measured
+        # optimum; it also keeps image-gen code targets (T=1025 → 1152)
+        # unpadded (their padding contributed to the joint step's HBM
+        # squeeze, bench r3e).
         _Sk0 = -(-S // 128) * 128
         _bq0 = 256 if (S >= 256 and _Sk0 <= 1024) else 128
         Spad = -(-S // _bq0) * _bq0

@@ -1,0 +1,76 @@
+"""Flash-bwd (block_q, block_b) sweep at the encoder train shape.
+
+bf16 drel partials freed ~0.5 MB of scoped VMEM; check whether
+(bq128, bb4) now fits (fp32 partials OOM'd at 16.17 MB) and whether fewer
+drel chunks beats the extra K/V re-streaming of nq=8. Times the custom-VJP
+attention fwd+bwd in isolation, fori_loop'd, B8 H12 S980 D64 bf16.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import musketeer_tpu.ops.flash_attention_bwd as fab
+
+    B, H, S, D = 8, 12, 980, 64
+    rng = np.random.RandomState(0)
+    mk = lambda *sh: jnp.asarray(rng.randn(*sh), jnp.bfloat16) * 0.2
+    q, k, v, pq, pk = (mk(B, H, S, D) for _ in range(5))
+    rel = mk(H, S, S)
+    kpad = jnp.zeros((B, S), bool).at[:, -17:].set(True)
+    cot = mk(B, H, S, D)
+
+    out = {}
+    for bq, bb in ((256, 2), (128, 2), (128, 4), (256, 4)):
+        orig = fab._bwd
+
+        def bwd_patch(res, causal, block_q, interpret, need_drel, do,
+                      block_b=None, _orig=orig, _bb=bb):
+            return _orig(res, causal, block_q, interpret, need_drel, do,
+                         block_b=_bb)
+
+        fab._bwd = bwd_patch
+        try:
+            def loss(q_, k_, v_, pq_, pk_, rel_):
+                o = fab.flash_attention_bias_trainable(
+                    q_, k_, v_, pq_, pk_, rel_, kpad, False, bq, False, True,
+                    False,
+                )
+                return jnp.sum(o.astype(jnp.float32) * cot.astype(jnp.float32))
+
+            g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))
+
+            def step(q_, k_, v_, pq_, pk_, rel_):
+                def body(i, c):
+                    l, gr = g(q_ + (c * 0).astype(q_.dtype), k_, v_, pq_, pk_, rel_)
+                    return c + l * 1e-9 + sum(
+                        jnp.sum(x.astype(jnp.float32)) for x in gr) * 1e-12
+                return jax.lax.fori_loop(0, 10, body, jnp.zeros((), jnp.float32))
+
+            f = jax.jit(step)
+            r = np.asarray(f(q, k, v, pq, pk, rel))
+            t0 = time.perf_counter()
+            r = np.asarray(f(q, k, v, pq, pk, rel))
+            ms = (time.perf_counter() - t0) / 10 * 1000
+            out[f"bq{bq}_bb{bb}"] = {"ms": round(ms, 2)}
+        except Exception as e:
+            out[f"bq{bq}_bb{bb}"] = {"err": str(e)[:120]}
+        finally:
+            fab._bwd = orig
+        print(f"bq{bq}_bb{bb}", out[f"bq{bq}_bb{bb}"], flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
