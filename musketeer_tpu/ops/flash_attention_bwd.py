@@ -36,6 +36,11 @@ from jax.experimental import pallas as pl
 
 NEG_INF = -1e9
 
+# Batch-chunk override for the backward kernel (None = the Sp-based policy
+# in _bwd). Module-level so probes/benches can sweep it without re-plumbing
+# the custom_vjp's static args.
+BWD_BLOCK_B = None
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -272,6 +277,8 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
 
     nq = Tp // block_q
     if block_b is None:
+        block_b = BWD_BLOCK_B
+    if block_b is None:
         block_b = 2 if Sp <= 1280 else 1
     # batch-chunk: padded batch rows carry kpad=True everywhere, so their
     # p = exp(NEG_INF − 0) = 0 and every gradient contribution vanishes
@@ -308,7 +315,12 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
         pl.BlockSpec((BC, None, Sp, D), lambda b, h, i: (b, h, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((Bp, H, Tp, Dc), jnp.float32),
+        # dqc is written ONCE per grid cell (no cross-revisit accumulation),
+        # so it can come out in the input dtype directly — same final values
+        # (the in-kernel dot still accumulates fp32; the cast happens once
+        # either way), and the fp32→bf16 switch frees ~0.5 MB of scoped VMEM
+        # per double-buffered block, which is what lets block_b=4 fit.
+        jax.ShapeDtypeStruct((Bp, H, Tp, Dc), qc2.dtype),
         jax.ShapeDtypeStruct((Bp, H, Sp, Dc), jnp.float32),
         jax.ShapeDtypeStruct((Bp, H, Sp, D), jnp.float32),
     ]

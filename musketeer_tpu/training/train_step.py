@@ -102,21 +102,27 @@ def task_loss(
 
 
 def _pack_key(batch: TaskBatch):
-    """Static grouping key for the packed text forward, or None if the batch
-    is not packable (vision/code/patch-subsample batches keep their own
-    forwards — their shapes and aux inputs are heterogeneous)."""
+    """Static grouping key for the packed forward, or None if the batch is
+    not packable.
+
+    Text-only batches pack on (src, tgt) shapes. Vision batches whose stem
+    already ran (``resnet_feats`` set by :func:`_pack_vision_stem`) pack too
+    when their token AND feature shapes match — at the reference envelope
+    that merges vqa_gen + snli_ve (both [B, 90]/[B, 90] + 30×30 feats) into
+    one transformer pass. Raw-image / code / patch-subsample batches keep
+    their own forwards (heterogeneous aux inputs)."""
     if (
         batch.patch_images is not None
-        or batch.patch_masks is not None
         or batch.code_masks is not None
         or batch.sample_patch_order is not None
-        or batch.resnet_feats is not None
     ):
         return None
     return (
         batch.src_tokens.shape,
         batch.prev_output_tokens.shape,
         batch.constraint_masks is not None,
+        None if batch.resnet_feats is None else batch.resnet_feats.shape,
+        None if batch.patch_masks is None else batch.patch_masks.shape,
     )
 
 
@@ -128,16 +134,19 @@ def packed_text_loss(
     rng: Optional[jax.Array],
     update_num: jnp.ndarray,
 ):
-    """ONE forward for G same-shape text-only tasks, per-task losses exact.
+    """ONE forward for G same-shape tasks, per-task losses exact.
 
     SURVEY §7's architecture stance: the reference runs 9 sequential
     forwards per step (ref: label_smoothed_cross_entropy.py:175-202); tasks
-    that share (src_len, tgt_len) buckets and carry no vision inputs (the 7
-    GLUE tasks + gigaword + text infilling under a common bucket) instead
-    concatenate along batch into a single transformer pass — bigger matmuls,
-    one kernel stream. Per-task semantics are preserved exactly by vmapping
-    the criterion over the task axis: drop-worst/drop-best ranking, R-Drop
-    halves and ntokens normalization all stay within each task's segment.
+    that share (src_len, tgt_len) buckets instead concatenate along batch
+    into a single transformer pass — bigger matmuls, one kernel stream.
+    Text-only tasks (the 7 GLUE tasks + gigaword + text infilling under a
+    common bucket) always qualify; vision tasks qualify once the stem
+    packing has replaced their images with same-shape ``resnet_feats``
+    (vqa_gen + snli_ve at the reference envelope). Per-task semantics are
+    preserved exactly by vmapping the criterion over the task axis:
+    drop-worst/drop-best ranking, R-Drop halves and ntokens normalization
+    all stay within each task's segment.
     """
     names = sorted(group)
     G = len(names)
@@ -151,6 +160,16 @@ def packed_text_loss(
     tgt = cat([b.target for b in bs])
     has_cm = bs[0].constraint_masks is not None
     cm = cat([b.constraint_masks for b in bs]) if has_cm else None
+    # same-shape vision batches (stem already packed into resnet_feats)
+    # ride the same transformer pass; _pack_key guarantees homogeneity
+    feats = (
+        cat([b.resnet_feats for b in bs])
+        if bs[0].resnet_feats is not None else None
+    )
+    pmask = (
+        cat([b.patch_masks for b in bs])
+        if bs[0].patch_masks is not None else None
+    )
     # conf is per-sample multiplicative — missing members get neutral ones
     if any(b.conf is not None for b in bs):
         conf = cat([
@@ -164,10 +183,11 @@ def packed_text_loss(
     if dup:
         d = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
         src, prev, tgt, cm, conf = d(src), d(prev), d(tgt), d(cm), d(conf)
+        feats, pmask = d(feats), d(pmask)
 
     logits = ofa.forward(
         params, model_cfg, src, prev, rngs=rng, deterministic=rng is None,
-        train_bn=False,
+        train_bn=False, resnet_feats=feats, patch_masks=pmask,
     )
 
     def per_task(shaped):
@@ -362,13 +382,24 @@ def make_train_step(
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss), metrics
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (grads, loss_sum), metrics = jax.lax.scan(
-            micro_step,
-            (zero_grads, 0.0),
-            (batches, jnp.arange(A)),
-        )
-        grads = jax.tree.map(lambda g: g / A, grads)
+        if A == 1:
+            # no real accumulation: skip the scan so XLA never materializes
+            # the zeros-init carry + add over the full param tree (~0.5 GB
+            # of pure grad-buffer traffic at ofa_base scale)
+            micro = jax.tree.map(lambda a: a[0], batches)
+            mrng = jax.random.fold_in(rng, 0)
+            (loss_sum, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, micro, mrng, state.step
+            )
+            metrics = jax.tree.map(lambda x: x[None], m)
+        else:
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum), metrics = jax.lax.scan(
+                micro_step,
+                (zero_grads, 0.0),
+                (batches, jnp.arange(A)),
+            )
+            grads = jax.tree.map(lambda g: g / A, grads)
 
         gnorm = optax.global_norm(grads)
         # skip the update on non-finite gradients — the TPU-native stand-in
