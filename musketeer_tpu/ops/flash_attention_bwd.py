@@ -41,6 +41,20 @@ NEG_INF = -1e9
 # the custom_vjp's static args.
 BWD_BLOCK_B = None
 
+# Forward batch-chunk override (None = the call-site default). The rel
+# block is fetched once per batch chunk, so larger chunks amortize the
+# [H, S, S] stream across more batch rows (VMEM-bound upper limit).
+FWD_BLOCK_B = None
+
+# Stream the forward's saved lse into the backward kernel (True) or
+# recompute the softmax normalizer from the resident full-S row (False).
+# The width-1 lse block is lane-padded to 128 → ~0.5 MB of double-buffered
+# scoped VMEM; recomputing costs two extra [bq, S] reduces + one divide.
+# MEASURED (probe_bb.py, B8 H12 S980): recompute is ~8% SLOWER (6.71 vs
+# 6.18 ms at bq256/bb2) and the freed VMEM still does not let block_b=4
+# compile — the extra VPU passes are a pure loss. Default stays True.
+BWD_STREAM_LSE = True
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -109,10 +123,16 @@ def _fwd_kernel(qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
 
 def _bwd_kernel_fused(
     qc_ref, kc_ref, v_ref, rel_ref, kpad_ref,
-    do_ref, lse_ref, o_ref,
-    dqc_ref, dkc_ref, dv_ref, *maybe_drel,
-    causal, block_q, block_b, need_drel,
+    do_ref, *refs,
+    causal, block_q, block_b, need_drel, stream_lse,
 ):
+    if stream_lse:
+        lse_ref, o_ref, dqc_ref, dkc_ref, dv_ref = refs[:5]
+        maybe_drel = refs[5:]
+    else:
+        lse_ref = None
+        o_ref, dqc_ref, dkc_ref, dv_ref = refs[:4]
+        maybe_drel = refs[4:]
     drel_ref = maybe_drel[0] if need_drel else None
     # Packed layout mirrors the forward kernel: qc = [q | pos_q],
     # kc = [k | pos_k] along the head dim, so the w recompute is one dot
@@ -141,7 +161,17 @@ def _bwd_kernel_fused(
         w += rel
         pad = kpad_ref[pl.program_id(0) * block_b + c, :] != 0
         w = jnp.where(pad[None, :], NEG_INF, w)
-        p = jnp.exp(w - lse_ref[c])  # [BQ, S] fp32 (pad cols → 0)
+        if stream_lse:
+            p = jnp.exp(w - lse_ref[c])  # [BQ, S] fp32 (pad cols → 0)
+        else:
+            # recompute the normalizer from the resident full-S row. The
+            # max clamp makes all-masked rows (batch/T-pad: every col
+            # NEG_INF) give e = exp(-1e9+1e8) = 0 → p = 0 via the denom
+            # floor — the same zero rows the streamed-lse path produces.
+            m = jnp.maximum(jnp.max(w, axis=-1, keepdims=True), -1e8)
+            e = jnp.exp(w - m)
+            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-38)
+            p = e / denom
 
         do = do_ref[c].astype(jnp.float32)
         dp = jax.lax.dot_general(
@@ -210,6 +240,8 @@ def _pack_pad(q, k, v, pq, pk, rel, kpad, block_q):
 def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
          skip_max=False, want_res=False):
     interpret = interpret or jax.default_backend() == "cpu"
+    if FWD_BLOCK_B is not None:
+        block_b = FWD_BLOCK_B
     B, H, T, D = q.shape
     S = k.shape[2]
     qc, kc, v2, rel2, kpad2, Tp, Sp, Dc = _pack_pad(
@@ -254,7 +286,8 @@ def _fwd(q, k, v, pq, pk, rel, kpad, causal, block_q, interpret, block_b=4,
     return o[:B, :, :T], lse[:B, :, :T, 0]
 
 
-def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
+def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None,
+         stream_lse=None):
     # Empirical scoped-VMEM limits (v5e, 16 MB): block_b=4 @ (bq128, S1024)
     # = 16.17 MB OOM; block_b=2 @ (bq256, S1152) = 19.15 MB OOM; block_b=2
     # fits at (bq256, S1024) and (bq128, S1152). Long-S pretrain pairs
@@ -298,6 +331,8 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
         kpad2 = jnp.pad(kpad2, ((0, Bp - B), (0, 0)), constant_values=True)
     kpad_i = kpad2.astype(jnp.int32)
     nbc = Bp // BC
+    if stream_lse is None:
+        stream_lse = BWD_STREAM_LSE
 
     in_specs = [
         pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
@@ -306,9 +341,15 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
         pl.BlockSpec((None, block_q, Sp), lambda b, h, i: (h, i, 0)),
         pl.BlockSpec((Bp, Sp), lambda b, h, i: (0, 0)),
         pl.BlockSpec((BC, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((BC, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
     ]
+    args = [qc2, kc2, v2, rel2, kpad_i, do2]
+    if stream_lse:
+        in_specs.append(
+            pl.BlockSpec((BC, None, block_q, 1), lambda b, h, i: (b, h, i, 0)))
+        args.append(lse_p)
+    in_specs.append(
+        pl.BlockSpec((BC, None, block_q, D), lambda b, h, i: (b, h, i, 0)))
+    args.append(o_p)
     out_specs = [
         pl.BlockSpec((BC, None, block_q, Dc), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((BC, None, Sp, Dc), lambda b, h, i: (b, h, 0, 0)),
@@ -340,14 +381,14 @@ def _bwd(res, causal, block_q, interpret, need_drel, do, block_b=None):
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel_fused, causal=causal, block_q=block_q,
-            block_b=BC, need_drel=need_drel,
+            block_b=BC, need_drel=need_drel, stream_lse=stream_lse,
         ),
         grid=(nbc, H, nq),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(qc2, kc2, v2, rel2, kpad_i, do2, lse_p, o_p)
+    )(*args)
     if need_drel:
         dqc, dkc, dv, drel_p = outs
         # slice to the INPUT rel's shape (it may arrive pre-padded to

@@ -1,9 +1,14 @@
-"""Flash-bwd (block_q, block_b) sweep at the encoder train shape.
+"""Flash-bwd (block_q, block_b, stream_lse) sweep at the encoder train shape.
 
-bf16 drel partials freed ~0.5 MB of scoped VMEM; check whether
-(bq128, bb4) now fits (fp32 partials OOM'd at 16.17 MB) and whether fewer
-drel chunks beats the extra K/V re-streaming of nq=8. Times the custom-VJP
-attention fwd+bwd in isolation, fori_loop'd, B8 H12 S980 D64 bf16.
+Times the custom-VJP attention fwd+bwd in isolation, fori_loop'd,
+B8 H12 S980 D64 bf16.
+
+MEASURED (on-chip, 2026-08-18): streamed lse (sl1) beats the in-kernel
+normalizer recompute (sl0) — bq256_bb2 6.18 vs 6.71 ms, bq128_bb2 6.55 vs
+6.95 — and block_b=4/8 still fail to compile even with the lse stream
+dropped (remote compiler 500, consistent with the earlier 16.17 MB scoped
+VMEM OOM). BWD_STREAM_LSE stays True; the drel nbc-reduction lever is
+exhausted at this shape.
 """
 
 import functools
@@ -31,13 +36,21 @@ def main():
     cot = mk(B, H, S, D)
 
     out = {}
-    for bq, bb in ((256, 2), (128, 2), (128, 4), (256, 4)):
+    # (block_q, block_b, stream_lse): the True rows are the pre-change
+    # baseline (lse streamed from the forward) for the recompute A/B.
+    sweeps = (
+        (256, 2, True), (128, 2, True),
+        (256, 2, False), (128, 2, False),
+        (128, 4, False), (256, 4, False), (128, 8, False),
+    )
+    for bq, bb, sl in sweeps:
         orig = fab._bwd
 
         def bwd_patch(res, causal, block_q, interpret, need_drel, do,
-                      block_b=None, _orig=orig, _bb=bb):
+                      block_b=None, _orig=orig, _bb=bb, _sl=sl, **kw):
+            kw["stream_lse"] = _sl
             return _orig(res, causal, block_q, interpret, need_drel, do,
-                         block_b=_bb)
+                         block_b=_bb, **kw)
 
         fab._bwd = bwd_patch
         try:
@@ -62,12 +75,12 @@ def main():
             t0 = time.perf_counter()
             r = np.asarray(f(q, k, v, pq, pk, rel))
             ms = (time.perf_counter() - t0) / 10 * 1000
-            out[f"bq{bq}_bb{bb}"] = {"ms": round(ms, 2)}
+            out[f"bq{bq}_bb{bb}_sl{int(sl)}"] = {"ms": round(ms, 2)}
         except Exception as e:
-            out[f"bq{bq}_bb{bb}"] = {"err": str(e)[:120]}
+            out[f"bq{bq}_bb{bb}_sl{int(sl)}"] = {"err": str(e)[:120]}
         finally:
             fab._bwd = orig
-        print(f"bq{bq}_bb{bb}", out[f"bq{bq}_bb{bb}"], flush=True)
+        print(f"bq{bq}_bb{bb}_sl{int(sl)}", out[f"bq{bq}_bb{bb}_sl{int(sl)}"], flush=True)
 
     print(json.dumps(out))
 

@@ -179,3 +179,36 @@ def test_skip_max_subtract_numerics():
         np.testing.assert_allclose(
             np.asarray(g_safe), np.asarray(g_fast), atol=1e-2
         )
+
+
+def test_bwd_lse_recompute_matches_streamed():
+    """stream_lse=False (in-kernel normalizer recompute; measured-negative
+    probe path, see flash_attention_bwd.BWD_STREAM_LSE) must produce the
+    same gradients as the default streamed-lse path — including zero
+    contributions from fully-masked batch-pad rows (B=3 pads to block_b)."""
+    import musketeer_tpu.ops.flash_attention_bwd as fab
+
+    rng = np.random.RandomState(7)
+    B, H, S, D = 3, 4, 130, 64
+    mk = lambda sh: jnp.asarray(rng.randn(*sh) * 0.3, jnp.float32)
+    q, k, v = mk((B, H, S, D)), mk((B, H, S, D)), mk((B, H, S, D))
+    pq, pk = mk((B, H, S, D)), mk((B, H, S, D))
+    rel = mk((H, S, S))
+    kpad = jnp.zeros((B, S), bool).at[0, -11:].set(True)
+    r = mk((B, H, S, D))
+
+    def f(q_, k_, v_):
+        o = fab.flash_attention_bias_trainable(
+            q_, k_, v_, pq, pk, rel, kpad, False, 128, False, True, False
+        )
+        return jnp.sum(o * r)
+
+    g_stream = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    fab.BWD_STREAM_LSE = False
+    try:
+        g_rec = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fab.BWD_STREAM_LSE = True
+    for a, b in zip(g_rec, g_stream):
+        assert bool(jnp.all(jnp.isfinite(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
