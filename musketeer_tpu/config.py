@@ -96,6 +96,13 @@ class ModelConfig:
     # pad/unpad passes; costs ~4.5 % more activation memory at the 980→1024
     # encoder shape — disable when a step is at the HBM edge
     flash_pad_once: bool = True
+    # int8 cross-KV decode steps run through the fused Pallas kernel
+    # (ops/decode_cross_attn.py) that dequantizes per-tile in VMEM instead
+    # of materializing a bf16 copy of the cache every step. MEASURED
+    # NEGATIVE on v5e (probe_int8kv.py: 47.3 vs 31.6 ms XLA-int8 decode —
+    # per-step work too small for 12 in-loop kernel launches), so the
+    # default stays the XLA einsum path; flag kept for future sweeps
+    decode_int8_kv_kernel: bool = False
     # GPipe pipeline parallelism over the mesh 'pipe' axis: encoder/decoder
     # layer stacks run as P stages with this many microbatches (0 = off;
     # requires use_flash_attention, a 'pipe' mesh axis, and B % M == 0)

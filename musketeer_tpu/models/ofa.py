@@ -1130,27 +1130,47 @@ def _decoder_layer(
         Bs = cache["cross_k"].shape[0]
         Kb = rows // Bs
         q = _split_heads(_linear(p["encoder_attn"]["q_proj"], h) * scaling, H)
-        qb = q.reshape(Bs, Kb, H, q.shape[2], q.shape[3])
-        ck = cache["cross_k"].astype(q.dtype)
-        w = jnp.einsum(
-            "bkhqd,bhsd->bkhqs", qb, ck, preferred_element_type=jnp.float32,
-        )
-        if "cross_k_scale" in cache:
-            # int8 KV cache (quantize_cross_kv): the per-position dequant
-            # scale factors out of the hd contraction — applied to the
-            # tiny [B,K,H,1,S] scores, never to the cache itself
-            w = w * cache["cross_k_scale"][:, None, :, None, :]
-        w = w + cross_bias.astype(jnp.float32)[:, None]
-        w = jnp.where(enc_pad[:, None, None, None, :], -jnp.inf, w)
-        probs = jax.nn.softmax(w, axis=-1)
-        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
-        if "cross_v_scale" in cache:
-            probs = probs * cache["cross_v_scale"][:, None, :, None, :]
-        probs = probs.astype(x.dtype)
-        out = jnp.einsum(
-            "bkhqs,bhsd->bkhqd", probs, cache["cross_v"].astype(x.dtype)
-        )
-        out = out.reshape(rows, H, out.shape[3], out.shape[4])
+        int8_kv = "cross_k_scale" in cache
+        if int8_kv and cfg.decode_int8_kv_kernel and q.shape[2] == 1:
+            # fused Pallas step: reads the int8 cache directly from HBM and
+            # dequantizes per-tile in VMEM — the XLA path below materializes
+            # a bf16 copy of the whole cache every step (the r2 ~6%-slower
+            # negative result). ops/decode_cross_attn.py
+            from ..ops.decode_cross_attn import decode_cross_attention_int8
+
+            D = q.shape[-1]
+            # beams ride H-major into the kernel (see its docstring)
+            qk = q[:, :, 0, :].reshape(Bs, Kb, H, D).transpose(0, 2, 1, 3)
+            out = decode_cross_attention_int8(
+                qk, cache["cross_k"], cache["cross_v"],
+                cache["cross_k_scale"], cache["cross_v_scale"],
+                cross_bias[:, :, 0, :], enc_pad,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(rows, H, 1, D)
+            out = out.astype(x.dtype)
+        else:
+            qb = q.reshape(Bs, Kb, H, q.shape[2], q.shape[3])
+            ck = cache["cross_k"].astype(q.dtype)
+            w = jnp.einsum(
+                "bkhqd,bhsd->bkhqs", qb, ck,
+                preferred_element_type=jnp.float32,
+            )
+            if int8_kv:
+                # int8 KV cache (quantize_cross_kv): the per-position dequant
+                # scale factors out of the hd contraction — applied to the
+                # tiny [B,K,H,1,S] scores, never to the cache itself
+                w = w * cache["cross_k_scale"][:, None, :, None, :]
+            w = w + cross_bias.astype(jnp.float32)[:, None]
+            w = jnp.where(enc_pad[:, None, None, None, :], -jnp.inf, w)
+            probs = jax.nn.softmax(w, axis=-1)
+            probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+            if int8_kv:
+                probs = probs * cache["cross_v_scale"][:, None, :, None, :]
+            probs = probs.astype(x.dtype)
+            out = jnp.einsum(
+                "bkhqs,bhsd->bkhqd", probs, cache["cross_v"].astype(x.dtype)
+            )
+            out = out.reshape(rows, H, out.shape[3], out.shape[4])
         out = _merge_heads(out)
         if "c_attn" in p["encoder_attn"]:
             b, t, _ = out.shape

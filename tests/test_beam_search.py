@@ -707,3 +707,35 @@ def test_project_with_stats_matches_xla():
     assert g.shape == (N, 256) and ids.shape == (N, 256)
     got = np.take_along_axis(ref, np.asarray(ids), axis=1)
     np.testing.assert_allclose(np.asarray(g), got, rtol=2e-5, atol=2e-4)
+
+
+def test_int8_kv_kernel_matches_xla_path(tiny):
+    """The fused int8 decode kernel (ops/decode_cross_attn.py) must match
+    the plain XLA int8 einsum path (decode_int8_kv_kernel=False) on the
+    same quantized state — same math, per-tile dequant instead of a
+    materialized bf16 cache copy."""
+    from dataclasses import replace as rp
+
+    cfg, params = tiny
+    src, imgs, masks = make_batch(cfg)
+    enc = ofa.encode(params, cfg, src, imgs, masks)
+    state = ofa.init_decoder_state(params, cfg, enc, max_len=5, beam_size=2)
+    state_q = ofa.quantize_cross_kv(state)
+    toks = jnp.full((4,), cfg.bos, jnp.int32)  # B=2 x beam 2 rows
+
+    cfg_k = rp(cfg, decode_int8_kv_kernel=True)
+    l_kernel, st1 = ofa.decode_step(params, cfg_k, toks, jnp.int32(0), state_q)
+    cfg_x = rp(cfg, decode_int8_kv_kernel=False)
+    l_xla, st2 = ofa.decode_step(params, cfg_x, toks, jnp.int32(0), state_q)
+    d1 = np.asarray(l_kernel, np.float32)
+    d2 = np.asarray(l_xla, np.float32)
+    scale = max(1.0, float(np.abs(d2).max()))
+    assert np.abs(d1 - d2).max() < 2e-3 * scale, (
+        np.abs(d1 - d2).max(), scale
+    )
+    # a second chained step (cache threading unchanged by the kernel)
+    nxt = jnp.asarray(np.argmax(d2[:, : cfg.vocab_size], -1), jnp.int32)
+    l1b, _ = ofa.decode_step(params, cfg_k, nxt, jnp.int32(1), st1)
+    l2b, _ = ofa.decode_step(params, cfg_x, nxt, jnp.int32(1), st2)
+    assert np.abs(np.asarray(l1b, np.float32)
+                  - np.asarray(l2b, np.float32)).max() < 2e-3 * scale
