@@ -46,6 +46,13 @@ BWD_BLOCK_B = None
 # [H, S, S] stream across more batch rows (VMEM-bound upper limit).
 FWD_BLOCK_B = None
 
+# Pure-inference programs run the unpacked/unpadded kernel
+# (ops/flash_attention_infer.py) as the custom_vjp primal; False restores
+# the packed+padded forward for A/B probes. Measured latency-neutral at the
+# bench encoder shape (probe_infer_kernel.py: 56.2 ms both, tokens exact) —
+# kept on for the HBM/odd-shape/zeros-rel benefits, not for speed.
+INFER_UNPACKED = True
+
 # Stream the forward's saved lse into the backward kernel (True) or
 # recompute the softmax normalizer from the resident full-S row (False).
 # The width-1 lse block is lane-padded to 128 → ~0.5 MB of double-buffered
@@ -426,7 +433,24 @@ def flash_attention_bias_trainable(
 
     Supports self (T==S, optional causal) and cross (T != S, rel usually
     zeros with need_drel=False) attention. ``skip_max`` drops the softmax
-    max-subtract pass (numerics-gated; see _fwd_kernel)."""
+    max-subtract pass (numerics-gated; see _fwd_kernel).
+
+    The PRIMAL (this body — what pure-inference programs execute) runs the
+    unpacked/unpadded kernel (ops/flash_attention_infer.py): no pack/pad
+    stream copies, native odd shapes. Differentiated programs trace
+    ``_vjp_fwd`` instead, which keeps the packed+padded forward whose
+    streams ride the residuals into the fused backward. ``need_drel=False``
+    doubles as the static "rel is zeros" promise (true at both model call
+    sites: cross attention passes a zeros rel), letting the inference
+    kernel skip the [H, T, S] rel stream read entirely."""
+    if INFER_UNPACKED:
+        from .flash_attention_infer import flash_attention_inference
+
+        return flash_attention_inference(
+            q, k, v, pos_q, pos_k, rel if need_drel else None, kpad,
+            causal=causal, block_q=block_q, interpret=interpret,
+            skip_max=skip_max,
+        )
     o, _ = _fwd(
         q, k, v, pos_q, pos_k, rel, kpad, causal, block_q, interpret,
         skip_max=skip_max,

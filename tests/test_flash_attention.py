@@ -212,3 +212,34 @@ def test_bwd_lse_recompute_matches_streamed():
     for a, b in zip(g_rec, g_stream):
         assert bool(jnp.all(jnp.isfinite(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("causal,has_rel", [(False, True), (True, True), (False, False)])
+def test_inference_kernel_unpacked_matches_reference(causal, has_rel):
+    """The unpacked/unpadded inference kernel (ops/flash_attention_infer.py
+    — the custom_vjp PRIMAL) must match the XLA reference at shapes that
+    are NOT tile multiples (odd B for the batch-chunk fallback, odd T/S for
+    Mosaic partial tiles), with and without the rel stream."""
+    from musketeer_tpu.ops.flash_attention_infer import flash_attention_inference
+
+    B, H, T, D = 3, 4, 147, 64
+    S = T if causal else 210
+    q, pq = _rand((B, H, T, D), 0), _rand((B, H, T, D), 1)
+    k, v = _rand((B, H, S, D), 2), _rand((B, H, S, D), 3, 1.0)
+    pk = _rand((B, H, S, D), 4)
+    rel = _rand((H, T, S), 5) if has_rel else None
+    kpad = jnp.zeros((B, S), bool).at[0, -17:].set(True)
+    out = flash_attention_inference(
+        q, k, v, pq, pk, rel, kpad, causal=causal, block_q=128
+    )
+    if causal:
+        ref = attention_reference(q, k, v, pq, pk, rel, kpad, causal=True)
+    else:
+        w = jnp.einsum("bhqd,bhkd->bhqk", q, k) + jnp.einsum(
+            "bhqd,bhkd->bhqk", pq, pk
+        )
+        if rel is not None:
+            w = w + rel[None]
+        w = jnp.where(kpad[:, None, None, :], -1e9, w)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(w, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)
