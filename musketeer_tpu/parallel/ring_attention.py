@@ -1,0 +1,180 @@
+"""Ring attention: sequence-parallel attention over an ICI ring.
+
+Beyond-parity scaling primitive (the reference has no sequence/context
+parallelism — its max source length is 1024, ref: unify_transformer.py:40-41
+— SURVEY §2.7 marks SP as the one "future" row). This implements the
+standard ring schedule for contexts too long for one chip's HBM:
+
+  * q, k, v (+ the OFA decomposed positional streams pos_q/pos_k and the
+    relative-bucket bias rel) are sharded along their SEQUENCE axis over a
+    ``seq`` mesh axis: each of the P devices holds a [B, H, S/P, D] slice.
+  * Every device computes online-softmax partial attention of its local
+    queries against the key/value chunk it currently holds, then passes
+    that chunk to its ring neighbour with ``jax.lax.ppermute`` — after P
+    hops every query has seen every key. Accumulator state is the
+    flash-attention triple (running max m, normalizer l, weighted sum acc),
+    combined exactly as in the single-chip kernel, so the result is
+    bit-comparable to full attention up to fp reassociation.
+  * Communication per hop is the [B, H, S/P, D] k/v/pos_k chunk — the same
+    volume as one collective-permute of the activations; compute and the
+    ppermute overlap across hops under XLA's async collectives.
+
+Semantics match ops/flash_attention.attention_reference:
+
+  w = q·kᵀ + pos_q·pos_kᵀ + rel  (rel optional), masked by key padding
+  and (optionally) causality on GLOBAL positions, softmax over the full
+  ring, then ·v.
+
+The bias/mask bookkeeping rides locally: ``rel`` is sharded on its QUERY
+axis ([H, S/P, S] per device — each device needs bias columns for every
+key it will visit), ``kpad`` is replicated ([B, S] bools are tiny).
+Gradients flow through ``ppermute`` and the ``fori_loop`` (static trip
+count) by ordinary reverse-mode AD — the backward program is the reverse
+ring.
+
+Differentiable; tested for forward equivalence vs the XLA reference and
+for gradient parity vs single-device attention on a CPU ring mesh
+(tests/test_ring_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = -1e9
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map
+
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def ring_attention(
+    q: jnp.ndarray,        # [B, H, S, D] (pre-scaled)
+    k: jnp.ndarray,        # [B, H, S, D]
+    v: jnp.ndarray,        # [B, H, S, D]
+    pos_q: Optional[jnp.ndarray],  # [B, H, S, D] or None
+    pos_k: Optional[jnp.ndarray],  # [B, H, S, D] or None
+    rel: Optional[jnp.ndarray],    # [H, S, S] additive bias or None
+    kpad: Optional[jnp.ndarray],   # [B, S] bool, True = masked key
+    mesh: Mesh,
+    axis_name: str = "seq",
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Sequence-parallel attention; returns [B, H, S, D] sharded like q.
+
+    All sequence-carrying inputs are (re)sharded on their sequence axis
+    over ``axis_name``; S must divide evenly by the axis size.
+    """
+    B, H, S, D = q.shape
+    Pn = mesh.shape[axis_name]
+    assert S % Pn == 0, f"seq len {S} not divisible by ring size {Pn}"
+
+    has_pos = pos_q is not None
+    if has_pos:
+        assert pos_k is not None
+    has_rel = rel is not None
+    if kpad is None:
+        kpad = jnp.zeros((B, S), bool)
+
+    seq4 = P(None, None, axis_name, None)
+
+    def local(q, k, v, pos_q, pos_k, rel, kpad):
+        # q, k, v, pos_*: [B, H, Sl, D] local chunks; rel: [H, Sl, S]
+        # (query-sharded); kpad: [B, S] replicated
+        idx = jax.lax.axis_index(axis_name)
+        Sl = q.shape[2]
+        qf = q.astype(jnp.float32)
+        pqf = pos_q.astype(jnp.float32) if has_pos else None
+
+        q_glob = idx * Sl + jnp.arange(Sl)  # global positions of local q
+
+        def hop(i, carry):
+            kc, vc, pkc, m, l, acc = carry
+            src = (idx - i) % Pn  # whose chunk we hold at hop i
+            w = jnp.einsum(
+                "bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            if has_pos:
+                w += jnp.einsum(
+                    "bhqd,bhkd->bhqk", pqf, pkc.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+            if has_rel:
+                w += jax.lax.dynamic_slice_in_dim(
+                    rel, src * Sl, Sl, axis=2
+                ).astype(jnp.float32)[None]
+            pad_c = jax.lax.dynamic_slice_in_dim(kpad, src * Sl, Sl, axis=1)
+            w = jnp.where(pad_c[:, None, None, :], NEG_INF, w)
+            if causal:
+                k_glob = src * Sl + jnp.arange(Sl)
+                w = jnp.where(
+                    k_glob[None, None, None, :]
+                    > q_glob[None, None, :, None],
+                    NEG_INF, w,
+                )
+            # online softmax merge (flash accumulator triple)
+            m_new = jnp.maximum(m, jnp.max(w, axis=-1))
+            # all-masked rows keep m at NEG_INF; guard the exp shift
+            shift = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+            p = jnp.exp(w - shift[..., None])
+            scale = jnp.exp(m - shift)
+            l_new = l * scale + jnp.sum(p, axis=-1)
+            acc_new = acc * scale[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            perm = [(j, (j + 1) % Pn) for j in range(Pn)]
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+            if has_pos:
+                pkc = jax.lax.ppermute(pkc, axis_name, perm)
+            return kc, vc, pkc, m_new, l_new, acc_new
+
+        m0 = jnp.full((B, H, Sl), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((B, H, Sl), jnp.float32)
+        acc0 = jnp.zeros((B, H, Sl, D), jnp.float32)
+        pk0 = pos_k if has_pos else jnp.zeros((), q.dtype)
+        *_, l, acc = jax.lax.fori_loop(
+            0, Pn, hop, (k, v, pk0, m0, l0, acc0)
+        )
+        out = acc / jnp.maximum(l, 1e-38)[..., None]
+        return out.astype(q.dtype)
+
+    zeros4 = jnp.zeros((B, H, S, D), q.dtype)
+    fn = _shard_map(
+        functools.partial(local),
+        mesh,
+        in_specs=(
+            seq4, seq4, seq4,
+            seq4, seq4,
+            P(None, axis_name, None) if has_rel else P(),
+            P(),
+        ),
+        out_specs=seq4,
+    )
+    return fn(
+        q, k, v,
+        pos_q if has_pos else zeros4,
+        pos_k if has_pos else zeros4,
+        rel if has_rel else jnp.zeros((), q.dtype),
+        kpad,
+    )
