@@ -224,6 +224,14 @@ def cmd_evaluate(args):
             params, model_cfg, dataset, batch_size=args.batch_size,
             limit=args.limit,
         )
+    elif getattr(args, "beam_search_vqa_eval", False):
+        assert hasattr(task, "evaluate_beam"), (
+            f"task {args.task} has no beam-search eval path"
+        )
+        metrics = task.evaluate_beam(
+            params, model_cfg, dataset, batch_size=args.batch_size,
+            limit=args.limit,
+        )
     else:
         metrics = task.evaluate(
             params, model_cfg, dataset, batch_size=args.batch_size, limit=args.limit
@@ -415,6 +423,9 @@ def main(argv=None):
     pe.add_argument("--answers-file", default=None)
     pe.add_argument("--use-ema", action="store_true",
                     help="evaluate the EMA shadow params from the checkpoint")
+    pe.add_argument("--beam-search-vqa-eval", action="store_true",
+                    help="trie-constrained beam-search VQA eval instead of "
+                    "allcand scoring (ref: evaluate_vqa_beam_base.sh)")
     pe.add_argument("--zero-shot", action="store_true",
                     help="zero-shot eval path (vqa_gen: no trie, open gen)")
     pe.add_argument("--beam", type=int, default=None)

@@ -309,6 +309,16 @@ def beam_search(
     )
 
     prefix_len = 0 if prefix_tokens is None else prefix_tokens.shape[1]
+    # per-ROW prefix lengths: the reference gates the constraint trie on
+    # each row's own prefix (prefix_tokens[row].ne(pad).sum(),
+    # sequence_generator.py:862-867), so with mixed-length prompts a short
+    # row becomes trie-constrained the moment ITS prefix ends — there is no
+    # unconstrained gap up to the padded prefix width.
+    row_plen = (
+        jnp.repeat(jnp.sum(prefix_tokens != pad, axis=1), K)  # [B*K]
+        if prefix_tokens is not None
+        else None
+    )
 
     # per-sentence length constraints (ref: search.py:526-549)
     if src_lengths is not None:
@@ -360,7 +370,10 @@ def beam_search(
 
         if trie is not None:
             nodes = trie.transition(_flat(s.trie_nodes), _flat(sampled))
-            nodes = jnp.where(step >= prefix_len, nodes, _flat(s.trie_nodes))
+            nodes = jnp.where(
+                step >= row_plen if prefix_len else jnp.bool_(True),
+                nodes, _flat(s.trie_nodes),
+            )
             trie_nodes = _unflat(nodes, B, K)
         else:
             trie_nodes = None
@@ -556,9 +569,15 @@ def beam_search(
         logits, new_dec = _decode(_flat(cur_tokens), step, s.self_kv)
         logits = logits.astype(jnp.float32)
 
-        # trie constraints only apply past the (prompt) prefix — the reference
-        # strips the prefix before walking (sequence_generator.py:860-863)
-        trie_active = step >= prefix_len
+        # trie constraints only apply past each row's OWN prefix — the
+        # reference strips the per-row prefix before walking
+        # (sequence_generator.py:860-867)
+        trie_active_rows = (
+            step >= row_plen if prefix_len else jnp.bool_(True)  # [B*K] | scalar
+        )
+        trie_active = (
+            trie_active_rows[:, None] if prefix_len else trie_active_rows
+        )
         trie_nodes_flat = _flat(s.trie_nodes) if trie is not None else None
         c_logits = _constrain_logits_pre(logits, gen_cfg, trie, trie_nodes_flat)
         logits = jnp.where(trie_active, c_logits, logits) if prefix_len else c_logits
@@ -857,7 +876,11 @@ def beam_search(
             src_nodes = jnp.take_along_axis(s.trie_nodes, alive_beam_src, axis=1)
             chosen = jnp.take_along_axis(topk_toks, alive_top_idx, axis=1)
             new_nodes = trie.transition(_flat(src_nodes), _flat(chosen))
-            new_nodes = jnp.where(trie_active, new_nodes, _flat(src_nodes))
+            # gather the per-row gate along the selected beams (plen is
+            # per-sample, shared by all K beams, so no reorder needed)
+            new_nodes = jnp.where(
+                trie_active_rows, new_nodes, _flat(src_nodes)
+            )
             trie_nodes = _unflat(new_nodes, B, K)
         else:
             trie_nodes = None

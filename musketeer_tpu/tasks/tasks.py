@@ -15,7 +15,7 @@ import numpy as np
 
 from ..config import GenerationConfig, ModelConfig
 from ..data import task_data as D
-from ..generation import DenseTrie, beam_search
+from ..generation import DenseTrie, beam_search, generate
 from ..models import ofa
 from ..utils.cider import CiderD
 from ..utils.summary_detok import normalize_summary_hyp
@@ -312,6 +312,66 @@ class VqaTask(AllCandTask):
 
     def evaluate(self, params, model_cfg, dataset, batch_size=4, limit=None):
         return self._eval_common(params, model_cfg, dataset, batch_size, limit, True)
+
+    def evaluate_beam(self, params, model_cfg, dataset, batch_size=4, limit=None):
+        """Trie-constrained beam-search VQA eval (ref run script
+        evaluate_vqa_beam_base.sh --beam-search-vqa-eval: vqa_gen.py:184-189
+        builds a constrained generator, :311-318 generates with the question
+        as ``prefix_tokens``, strips the per-row prefix and soft-scores the
+        suffix against ref_dict). Complements allcand ``evaluate`` (exact
+        candidate scoring) — beam explores the open answer trie instead,
+        so the predicted answer is always a trie path but need not be a
+        full forward over every candidate."""
+        assert len(self.answers) > 0, "beam VQA eval needs the answer trie"
+        v = self.vocab
+        builder = self.builder("valid")
+        cache: Dict[tuple, object] = {}
+        soft_sum, n = 0.0, 0
+        for batch in iter_batches(
+            dataset, builder, batch_size, v.pad, limit=limit, drop_last=True
+        ):
+            src = np.asarray(batch["src_tokens"])
+            # decoder prompt = question without bos/eos (prompt_type
+            # prev_output seeds the decoder with the source, ref
+            # vqa_gen_dataset.py:154-173; fairseq collates the per-row
+            # prompts right-padded, and pad positions are unforced)
+            pref = src[:, 1:].copy()
+            pref[pref == v.eos] = v.pad
+            key = (src.shape[1], pref.shape[1])
+            if key not in cache:
+                gen_cfg = GenerationConfig(
+                    beam_size=5, min_len=1, normalize_scores=False,
+                    max_len_b=pref.shape[1] + self.Tc + 1,
+                )
+
+                @jax.jit
+                def run(params, src_t, imgs, masks, pref_t):
+                    return generate(
+                        params, model_cfg, gen_cfg, src_t, imgs, masks,
+                        prefix_tokens=pref_t, trie=self.trie,
+                    )
+
+                cache[key] = run
+            toks, _ = cache[key](
+                params,
+                jnp.asarray(batch["src_tokens"]),
+                jnp.asarray(batch["patch_images"], jnp.float32),
+                jnp.asarray(batch["patch_masks"]),
+                jnp.asarray(pref),
+            )
+            toks = np.asarray(toks)
+            for i, e in enumerate(batch["extras"]):
+                plen = int((pref[i] != v.pad).sum())
+                seq = []
+                for t in toks[i, 0, plen:]:
+                    if t == v.eos:
+                        break
+                    if t != v.pad:
+                        seq.append(int(t))
+                pred = v.decode_ids(seq).strip()
+                soft_sum += e["ref_dict"].get(pred, 0.0)
+                n += 1
+        return {"soft_score": soft_sum / max(1, n), "n": n}
 
     def evaluate_zero_shot(self, params, model_cfg, dataset, batch_size=4, limit=None):
         """Open-vocabulary beam decode, no trie (ref: utils/zero_shot_utils.py:

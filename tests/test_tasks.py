@@ -185,6 +185,62 @@ def test_vqa_allcand_with_images_chunked(tiny, vocab, tmp_path):
     assert 0.0 <= out["soft_score"] <= 1.0
 
 
+def test_vqa_beam_search_eval(tiny, vocab, tmp_path):
+    """Beam-search VQA eval (ref: evaluate_vqa_beam_base.sh): the question
+    rides as a decoder prefix and generation is trie-constrained, so the
+    predicted suffix must be one of the candidate answers even under
+    random weights."""
+    from musketeer_tpu.data import FileDataset
+    from musketeer_tpu.tasks import VqaTask
+
+    answers = ["yes", "no", "red car", "blue"]
+    rows = []
+    for i in range(2):
+        rows.append([str(i), fake_image_b64(32, 32), "what is item",
+                     f"1.0|!+{answers[i]}"])
+    p = write_tsv(tmp_path / "vqab.tsv", rows)
+    task = VqaTask(vocab, description="base", patch_image_size=32,
+                   answers=answers)
+    cfg, params = tiny
+    out = task.evaluate_beam(params, cfg, FileDataset(p), batch_size=2)
+    assert out["n"] == 2 and 0.0 <= out["soft_score"] <= 1.0
+    # every prediction decoded from the constrained beam must be a full
+    # trie path == a candidate answer
+    import jax.numpy as jnp
+    import musketeer_tpu.tasks.tasks as tasks_mod
+
+    batch = next(
+        tasks_mod.iter_batches(FileDataset(p), task.builder("valid"), 2,
+                               vocab.pad)
+    )
+    src = np.asarray(batch["src_tokens"])
+    pref = src[:, 1:].copy()
+    pref[pref == vocab.eos] = vocab.pad
+    from musketeer_tpu.config import GenerationConfig
+    from musketeer_tpu.generation import generate
+
+    gen_cfg = GenerationConfig(beam_size=3, min_len=1,
+                               normalize_scores=False,
+                               max_len_b=pref.shape[1] + task.Tc + 1)
+    toks, _ = generate(
+        params, cfg, gen_cfg, jnp.asarray(src),
+        jnp.asarray(batch["patch_images"], jnp.float32),
+        jnp.asarray(batch["patch_masks"]),
+        prefix_tokens=jnp.asarray(pref), trie=task.trie,
+    )
+    toks = np.asarray(toks)
+    for i in range(2):
+        plen = int((pref[i] != vocab.pad).sum())
+        seq = []
+        for t in toks[i, 0, plen:]:
+            if t == vocab.eos:
+                break
+            if t != vocab.pad:
+                seq.append(int(t))
+        pred = vocab.decode_ids(seq).strip()
+        assert pred in answers, f"beam prediction {pred!r} not a candidate"
+
+
 def test_gigaword_eval(tiny, vocab, tmp_path):
     from musketeer_tpu.data import FileDataset
     from musketeer_tpu.tasks import TASK_REGISTRY
