@@ -194,9 +194,13 @@ def test_vqa_beam_search_eval(tiny, vocab, tmp_path):
     from musketeer_tpu.tasks import VqaTask
 
     answers = ["yes", "no", "red car", "blue"]
+    # DIFFERENT question lengths in one batch: the per-row trie gate must
+    # constrain the short row from the end of ITS prefix (the old global
+    # gate generated unconstrained tokens in its pad gap)
+    questions = ["what is item", "what color is the thing on the left"]
     rows = []
     for i in range(2):
-        rows.append([str(i), fake_image_b64(32, 32), "what is item",
+        rows.append([str(i), fake_image_b64(32, 32), questions[i],
                      f"1.0|!+{answers[i]}"])
     p = write_tsv(tmp_path / "vqab.tsv", rows)
     task = VqaTask(vocab, description="base", patch_image_size=32,
