@@ -89,7 +89,7 @@ def cmd_train(args):
         ),
         mesh=MeshConfig(
             data=-1, fsdp=args.fsdp, model=args.model_parallel,
-            pipe=args.pipeline,
+            pipe=args.pipeline, seq=args.seq_parallel,
         ),
     )
     if args.restore_pt:
@@ -109,7 +109,12 @@ def cmd_train(args):
         unroll_layers=args.unroll_layers,
     )
     if args.microbatches:
-        model_cfg = _replace(model_cfg, pipeline_microbatches=args.microbatches)
+        model_cfg = _replace(
+            model_cfg, pipeline_microbatches=args.microbatches,
+            pipeline_interleave=args.pipeline_interleave,
+        )
+    if args.seq_parallel > 1:
+        model_cfg = _replace(model_cfg, seq_parallel=True)
 
     # validation: by default Musketeer monitors SNLI-VE only
     # (ref: musketeer_task.py:545-559); override with --valid-task/--valid-data
@@ -401,6 +406,13 @@ def main(argv=None):
                     help="pipeline stages (mesh pipe axis)")
     pt.add_argument("--microbatches", type=int, default=0,
                     help="pipeline microbatches (0 = off)")
+    pt.add_argument("--pipeline-interleave", type=int, default=1,
+                    help="virtual stages per pipeline device (interleaved "
+                         "schedule; needs layers %% (stages*V) == 0 and "
+                         "microbatches <= stages)")
+    pt.add_argument("--seq-parallel", type=int, default=1,
+                    help="sequence-parallel ring size (mesh seq axis; "
+                         "encoder ring attention)")
     pt.add_argument("--ema-decay", type=float, default=0.0)
     pt.add_argument("--patience", type=int, default=-1)
     pt.add_argument("--eq-sampling", type=int, default=0)

@@ -107,6 +107,22 @@ class ModelConfig:
     # layer stacks run as P stages with this many microbatches (0 = off;
     # requires use_flash_attention, a 'pipe' mesh axis, and B % M == 0)
     pipeline_microbatches: int = 0
+    # Sequence parallelism: run the ENCODER layer stack with ring attention
+    # over a mesh 'seq' axis (parallel/ring_attention.py). Each device holds
+    # an S/P slice of the activation stream; K/V chunks rotate over ICI with
+    # ppermute while LN/FFN/projections partition per-position under GSPMD.
+    # Long-context extension beyond the reference (which caps S at 1024,
+    # ref: unify_transformer.py:40-41). Preconditions: a 'seq' mesh axis,
+    # deterministic (or all dropout/drop-path rates zero — the ring layer
+    # has no dropout), no encoder prompts, no per-sample patch subsampling;
+    # mutually exclusive with pipeline_microbatches on the encoder.
+    seq_parallel: bool = False
+    # Interleaved (virtual-stage) pipeline schedule: split each stage's
+    # layers into this many round-robin chunks so microbatches wrap the
+    # ring V times — the bubble shrinks ~V× in the small-microbatch regime
+    # (parallel/pipeline.py). Used when layers % (stages*V) == 0 and
+    # microbatches <= stages; otherwise the plain GPipe schedule runs.
+    pipeline_interleave: int = 1
     # Unroll the encoder/decoder/ResNet layer loops instead of lax.scan:
     # XLA then stores each layer's backward residuals as plain buffers
     # instead of dynamic-update-slice stacking (the DUS passes ranked among
@@ -263,15 +279,16 @@ class MeshConfig:
     fsdp: int = 1
     model: int = 1
     pipe: int = 1  # pipeline stages (GPipe over layer stacks)
+    seq: int = 1  # sequence-parallel ring size (encoder ring attention)
 
-    def axis_sizes(self, n_devices: int) -> Tuple[int, int, int, int]:
-        d, f, m, p = self.data, self.fsdp, self.model, self.pipe
+    def axis_sizes(self, n_devices: int) -> Tuple[int, int, int, int, int]:
+        d, f, m, p, s = self.data, self.fsdp, self.model, self.pipe, self.seq
         if d == -1:
-            d = n_devices // (f * m * p)
-        assert d * f * m * p == n_devices, (
-            f"mesh {d}x{f}x{m}x{p} != {n_devices} devices"
+            d = n_devices // (f * m * p * s)
+        assert d * f * m * p * s == n_devices, (
+            f"mesh {d}x{f}x{m}x{p}x{s} != {n_devices} devices"
         )
-        return d, f, m, p
+        return d, f, m, p, s
 
 
 @dataclass(frozen=True)

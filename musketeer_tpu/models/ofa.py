@@ -457,6 +457,107 @@ def _active_pipe_mesh(cfg: ModelConfig):
     return mesh
 
 
+def _usable_interleave(cfg: ModelConfig, n_layers: int, mesh, M: int) -> int:
+    """cfg.pipeline_interleave when the interleaved schedule's static
+    preconditions hold for this stack (layers divisible by stages*V,
+    microbatches <= stages), else 1 (plain GPipe)."""
+    V = cfg.pipeline_interleave
+    if V <= 1:
+        return 1
+    Pn = mesh.shape["pipe"]
+    if n_layers % (Pn * V) != 0 or M > Pn:
+        return 1
+    return V
+
+
+def _active_seq_mesh(cfg: ModelConfig):
+    """The context mesh when sequence parallelism is on and usable, else None."""
+    if not cfg.seq_parallel:
+        return None
+    try:
+        mesh = jax.sharding.get_mesh()
+    except Exception:
+        return None
+    if mesh is None or getattr(mesh, "empty", False):
+        return None
+    if "seq" not in mesh.shape or mesh.shape["seq"] <= 1:
+        return None
+    return mesh
+
+
+def _ring_self_attn(
+    p: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # [B, S, d] (post-LN), S divisible by the ring size
+    pos_q: jnp.ndarray,  # [B, H, S, hd]
+    pos_k: jnp.ndarray,
+    rel: jnp.ndarray,  # [H, S, S]
+    kpad: jnp.ndarray,  # [B, S]
+    mesh,
+) -> jnp.ndarray:
+    """Sequence-parallel self-attention: projections partition per-position
+    under GSPMD; the attention itself rides the ring (K/V chunks ppermute
+    over ICI, online-softmax merge — parallel/ring_attention.py)."""
+    from ..parallel.ring_attention import ring_attention
+
+    H = cfg.attention_heads
+    scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
+    q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
+    k = _split_heads(_linear(p["k_proj"], x), H)
+    v = _split_heads(_linear(p["v_proj"], x), H)
+    out = ring_attention(
+        q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
+        rel.astype(q.dtype), kpad, mesh, "seq", causal=False,
+    )
+    out = _merge_heads(out)
+    if "c_attn" in p:
+        b, t, _ = out.shape
+        out = (
+            out.reshape(b, t, H, cfg.head_dim)
+            * p["c_attn"].astype(out.dtype)[None, None, :, None]
+        ).reshape(b, t, -1)
+    return _linear(p["out_proj"], out)
+
+
+def _encoder_layer_sp(
+    p: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,
+    pos_q: jnp.ndarray,
+    pos_k: jnp.ndarray,
+    rel: jnp.ndarray,
+    padding_mask: jnp.ndarray,
+    mesh,
+) -> jnp.ndarray:
+    """Pre-LN encoder block under sequence parallelism (deterministic only:
+    the SP gate in encode() requires all dropout/drop-path rates be zero or
+    deterministic=True, so the regularizers are omitted here). The stream is
+    pinned to the seq sharding between layers so LN/FFN stay partitioned."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    bax = "data" if ("data" in mesh.shape and mesh.shape["data"] > 1) else None
+    spec = NamedSharding(mesh, PartitionSpec(bax, "seq", None))
+    x = jax.lax.with_sharding_constraint(x, spec)
+    residual = x
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    h = _ring_self_attn(p["self_attn"], cfg, h, pos_q, pos_k, rel, padding_mask, mesh)
+    if "attn_ln" in p:
+        h = _layer_norm(p["attn_ln"], h)
+    x = residual + h
+
+    residual = x
+    h = _layer_norm(p["final_layer_norm"], x)
+    h = _gelu(_linear(p["fc1"], h))
+    if "ffn_layernorm" in p:
+        h = _layer_norm(p["ffn_layernorm"], h)
+    h = _linear(p["fc2"], h)
+    if "adapter" in p:
+        h = _apply_adapter(p["adapter"], h)
+    if "w_resid" in p:
+        residual = residual * p["w_resid"].astype(residual.dtype)
+    return jax.lax.with_sharding_constraint(residual + h, spec)
+
+
 def _dec_dpr(cfg: ModelConfig) -> jnp.ndarray:
     return jnp.linspace(0.0, cfg.decoder_drop_path_rate, cfg.decoder_layers)
 
@@ -669,12 +770,33 @@ def encode(
         and not cfg.encoder_prompt
         and (deterministic or cfg.attention_dropout == 0.0)
     )
+    # sequence parallelism: ring attention over a 'seq' mesh axis. Shares
+    # the flash branch's decomposed positional streams (pos_q/pos_k +
+    # compact rel) but replaces the Pallas kernel with the ring schedule;
+    # requires no in-layer regularizers (the SP layer has no dropout).
+    sp_mesh = _active_seq_mesh(cfg)
+    if sp_mesh is not None and (
+        sample_patch_order is not None
+        or cfg.encoder_prompt
+        or not (
+            deterministic
+            or (
+                cfg.dropout == 0.0
+                and cfg.attention_dropout == 0.0
+                and cfg.activation_dropout == 0.0
+                and cfg.encoder_drop_path_rate == 0.0
+            )
+        )
+    ):
+        sp_mesh = None
+    if sp_mesh is not None:
+        use_flash = True
     S_orig, padding_mask_out, pos_out = S, padding_mask, pos_for_bias
     # pad-once only when layers are UNROLLED or nothing needs residuals
     # saved (pure inference): under lax.scan every residual the scan stacks
     # for the backward grows to the padded length, which measured as a net
     # loss (probe_unroll r3d: scan 112.5 → 116.4 ms) while unroll gained.
-    _pad_once = cfg.flash_pad_once and (
+    _pad_once = sp_mesh is None and cfg.flash_pad_once and (
         cfg.unroll_layers or (deterministic and rngs is None)
     )
     if use_flash and _pad_once:
@@ -703,6 +825,21 @@ def encode(
         _bq0 = 256 if (S >= 256 and _Sk0 <= 1024) else 128
         Spad = -(-S // _bq0) * _bq0
         if Spad != S and Spad <= S * 1.1:
+            x = jnp.pad(x, ((0, 0), (0, Spad - S), (0, 0)))
+            padding_mask = jnp.pad(
+                padding_mask, ((0, 0), (0, Spad - S)), constant_values=True
+            )
+            pos_for_bias = jnp.pad(
+                pos_for_bias, ((0, 0), (0, Spad - S), (0, 0))
+            )
+            S = Spad
+    if sp_mesh is not None:
+        # the ring shards S evenly over the axis; pad to a multiple with
+        # kpad=True rows (NEG_INF-masked keys, garbage queries sliced off
+        # after the stack — same contract as pad-once above)
+        Pn_sp = sp_mesh.shape["seq"]
+        Spad = -(-S // Pn_sp) * Pn_sp
+        if Spad != S:
             x = jnp.pad(x, ((0, 0), (0, Spad - S), (0, 0)))
             padding_mask = jnp.pad(
                 padding_mask, ((0, 0), (0, Spad - S)), constant_values=True
@@ -768,23 +905,41 @@ def encode(
         _bq = 256 if (S >= 256 and _Sk <= 1024) else 128
         _Sq = -(-S // _bq) * _bq
 
-        def layer_body(x, layer_in):
-            layer_p, rel_tok, rel_img, dp_rate = layer_in
-            # composed in compute dtype: the kernel consumes bf16 rel, so an
-            # fp32 intermediate would just add a [H,S,S] convert pass
-            rel = jnp.zeros((H, _Sq, _Sk), dtype)
-            rel = rel.at[:, S_orig - T : S_orig, S_orig - T : S_orig].set(rel_tok)
-            if N:
-                rel = rel.at[:, :N, :N].set(rel_img)
-            fwd = lambda xx: _encoder_layer(
-                layer_p, cfg, xx, None, padding_mask,
-                rngs=rngs, deterministic=deterministic,
-                flash=(pos_q, pos_k, rel),
-                drop_path_rate=dp_rate if enc_dp else None,
-            )
-            if cfg.remat:
-                fwd = jax.checkpoint(fwd)
-            return fwd(x), None
+        if sp_mesh is not None:
+
+            def layer_body(x, layer_in):
+                layer_p, rel_tok, rel_img, dp_rate = layer_in
+                rel = jnp.zeros((H, S, S), dtype)
+                rel = rel.at[
+                    :, S_orig - T : S_orig, S_orig - T : S_orig
+                ].set(rel_tok)
+                if N:
+                    rel = rel.at[:, :N, :N].set(rel_img)
+                fwd = lambda xx: _encoder_layer_sp(
+                    layer_p, cfg, xx, pos_q, pos_k, rel, padding_mask, sp_mesh
+                )
+                if cfg.remat:
+                    fwd = jax.checkpoint(fwd)
+                return fwd(x), None
+        else:
+
+            def layer_body(x, layer_in):
+                layer_p, rel_tok, rel_img, dp_rate = layer_in
+                # composed in compute dtype: the kernel consumes bf16 rel, so an
+                # fp32 intermediate would just add a [H,S,S] convert pass
+                rel = jnp.zeros((H, _Sq, _Sk), dtype)
+                rel = rel.at[:, S_orig - T : S_orig, S_orig - T : S_orig].set(rel_tok)
+                if N:
+                    rel = rel.at[:, :N, :N].set(rel_img)
+                fwd = lambda xx: _encoder_layer(
+                    layer_p, cfg, xx, None, padding_mask,
+                    rngs=rngs, deterministic=deterministic,
+                    flash=(pos_q, pos_k, rel),
+                    drop_path_rate=dp_rate if enc_dp else None,
+                )
+                if cfg.remat:
+                    fwd = jax.checkpoint(fwd)
+                return fwd(x), None
     else:
         abs_bias = _abs_pos_bias(
             enc["pos_q_linear"], enc["pos_k_linear"], pos_for_bias, cfg
@@ -840,7 +995,7 @@ def encode(
     )
     pipe_mesh = (
         _active_pipe_mesh(cfg)
-        if (use_flash and (rngs is None or _no_reg))
+        if (use_flash and sp_mesh is None and (rngs is None or _no_reg))
         else None
     )
     if pipe_mesh is not None:
@@ -877,6 +1032,9 @@ def encode(
         out = pipeline_scan(
             pipe_body, payload_mb, xs[:4], pipe_mesh, "pipe", consts=consts,
             remat=cfg.remat,
+            interleave=_usable_interleave(
+                cfg, cfg.encoder_layers, pipe_mesh, M
+            ),
         )
         x = out["x"].reshape((B,) + out["x"].shape[2:])
     else:
@@ -1421,6 +1579,9 @@ def decode(
             pipe_body, payload_mb,
             (dec["layers"], dec["token_rel_pos_table"], _dec_dpr(cfg)),
             pipe_mesh, "pipe", remat=cfg.remat,
+            interleave=_usable_interleave(
+                cfg, cfg.decoder_layers, pipe_mesh, M
+            ),
         )
         x = out["x"].reshape((B,) + out["x"].shape[2:])
     else:

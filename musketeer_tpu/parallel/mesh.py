@@ -27,14 +27,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MeshConfig
 
-DATA, FSDP, MODEL, PIPE = "data", "fsdp", "model", "pipe"
+DATA, FSDP, MODEL, PIPE, SEQ = "data", "fsdp", "model", "pipe", "seq"
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    d, f, m, pp = cfg.axis_sizes(len(devices))
-    arr = np.asarray(devices).reshape(d, f, m, pp)
-    return Mesh(arr, (DATA, FSDP, MODEL, PIPE))
+    d, f, m, pp, s = cfg.axis_sizes(len(devices))
+    arr = np.asarray(devices).reshape(d, f, m, pp, s)
+    return Mesh(arr, (DATA, FSDP, MODEL, PIPE, SEQ))
 
 
 # ---------------------------------------------------------------------------

@@ -94,7 +94,11 @@ def ring_attention(
     if kpad is None:
         kpad = jnp.zeros((B, S), bool)
 
-    seq4 = P(None, None, axis_name, None)
+    # compose with data parallelism: shard the batch dim over 'data' when the
+    # mesh has it (each ring then serves its own batch shard); all ring logic
+    # below is batch-parallel
+    bax = "data" if ("data" in mesh.shape and mesh.shape["data"] > 1) else None
+    seq4 = P(bax, None, axis_name, None)
 
     def local(q, k, v, pos_q, pos_k, rel, kpad):
         # q, k, v, pos_*: [B, H, Sl, D] local chunks; rel: [H, Sl, S]
@@ -167,7 +171,7 @@ def ring_attention(
             seq4, seq4, seq4,
             seq4, seq4,
             P(None, axis_name, None) if has_rel else P(),
-            P(),
+            P(bax, None),
         ),
         out_specs=seq4,
     )

@@ -59,6 +59,103 @@ def test_pipeline_single_stage(cpu_devices):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5)
 
 
+def test_pipeline_interleaved_matches_scan(cpu_devices):
+    """V=2 virtual stages: round-robin chunk ownership, M <= P regime."""
+    P_stages, L, M, mb, D, V = 4, 8, 4, 2, 16, 2
+    mesh = Mesh(np.asarray(cpu_devices[:P_stages]), ("pipe",))
+    rng = np.random.RandomState(2)
+    layer_xs = {
+        "w": jnp.asarray(rng.randn(L, D, D) * 0.1, jnp.float32),
+        "b": jnp.asarray(rng.randn(L, D) * 0.1, jnp.float32),
+    }
+    x_mb = jnp.asarray(rng.randn(M, mb, D), jnp.float32)
+    bias = jnp.asarray(rng.randn(D) * 0.1, jnp.float32)
+
+    def body(x, layer, consts):
+        return jnp.tanh(x @ layer["w"] + layer["b"] + consts)
+
+    def ref_one(x):
+        def sb(h, one):
+            return body(h, one, bias), None
+        out, _ = jax.lax.scan(sb, x, layer_xs)
+        return out
+
+    ref = jax.vmap(ref_one)(x_mb)
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda lx, xm, c: pipeline_scan(
+                body, xm, lx, mesh, consts=c, interleave=V
+            )
+        )(layer_xs, x_mb, bias)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_interleaved_grads(cpu_devices):
+    """Gradients flow through the interleaved ring (V ppermute laps)."""
+    from jax.flatten_util import ravel_pytree
+
+    P_stages, L, M, mb, D, V = 2, 8, 2, 2, 8, 4
+    mesh = Mesh(np.asarray(cpu_devices[:P_stages]), ("pipe",))
+    rng = np.random.RandomState(3)
+    layer_xs = {"w": jnp.asarray(rng.randn(L, D, D) * 0.1, jnp.float32)}
+    x_mb = jnp.asarray(rng.randn(M, mb, D), jnp.float32)
+
+    def body(x, layer, consts):
+        return jnp.tanh(x @ layer["w"])
+
+    def loss_ref(lx):
+        def ref_one(x):
+            out, _ = jax.lax.scan(
+                lambda h, o: (body(h, o, ()), None), x, lx
+            )
+            return out
+        return jnp.sum(jax.vmap(ref_one)(x_mb) ** 2)
+
+    def loss_pipe(lx, remat):
+        out = pipeline_scan(
+            body, x_mb, lx, mesh, interleave=V, remat=remat
+        )
+        return jnp.sum(out ** 2)
+
+    g_ref, _ = ravel_pytree(jax.grad(loss_ref)(layer_xs))
+    with jax.set_mesh(mesh):
+        g_p, _ = ravel_pytree(
+            jax.device_get(jax.jit(jax.grad(lambda lx: loss_pipe(lx, False)))(layer_xs))
+        )
+        g_r, _ = ravel_pytree(
+            jax.device_get(jax.jit(jax.grad(lambda lx: loss_pipe(lx, True)))(layer_xs))
+        )
+    scale = float(jnp.abs(g_ref).max()) + 1e-9
+    assert float(jnp.abs(g_ref - g_p).max()) / scale < 1e-4
+    assert float(jnp.abs(g_ref - g_r).max()) / scale < 1e-4
+
+
+def test_encoder_pipeline_interleaved_parity(cpu_devices):
+    """encode() with pipeline_interleave=2 over pipe=2 == plain encode."""
+    from dataclasses import replace
+
+    from musketeer_tpu.config import MeshConfig
+    from musketeer_tpu.models import ofa
+    from musketeer_tpu.parallel import make_mesh, shard_params
+    from tests.test_model import make_batch, tiny_cfg
+
+    cfg = tiny_cfg(use_flash_attention=True, encoder_layers=4)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    src, imgs, masks = make_batch(cfg, B=4)
+
+    ref = ofa.encode(params, cfg, src, imgs, masks)
+
+    cfg_p = replace(cfg, pipeline_microbatches=2, pipeline_interleave=2)
+    mesh = make_mesh(MeshConfig(data=4, fsdp=1, model=1, pipe=2))
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, params)
+        out = jax.jit(lambda p: ofa.encode(p, cfg_p, src, imgs, masks))(sp)
+    np.testing.assert_allclose(
+        np.asarray(ref.x, np.float32), np.asarray(out.x, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_encoder_pipeline_parity(cpu_devices):
     """encode() with pipeline_microbatches over a pipe mesh == plain encode."""
     from dataclasses import replace
