@@ -494,6 +494,7 @@ def _ring_self_attn(
     rel: jnp.ndarray,  # [H, S, S]
     kpad: jnp.ndarray,  # [B, S]
     mesh,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Sequence-parallel self-attention: projections partition per-position
     under GSPMD; the attention itself rides the ring (K/V chunks ppermute
@@ -507,7 +508,7 @@ def _ring_self_attn(
     v = _split_heads(_linear(p["v_proj"], x), H)
     out = ring_attention(
         q, k, v, pos_q.astype(q.dtype), pos_k.astype(q.dtype),
-        rel.astype(q.dtype), kpad, mesh, "seq", causal=False,
+        rel.astype(q.dtype), kpad, mesh, "seq", causal=causal,
     )
     out = _merge_heads(out)
     if "c_attn" in p:
@@ -543,6 +544,82 @@ def _encoder_layer_sp(
     h = _ring_self_attn(p["self_attn"], cfg, h, pos_q, pos_k, rel, padding_mask, mesh)
     if "attn_ln" in p:
         h = _layer_norm(p["attn_ln"], h)
+    x = residual + h
+
+    residual = x
+    h = _layer_norm(p["final_layer_norm"], x)
+    h = _gelu(_linear(p["fc1"], h))
+    if "ffn_layernorm" in p:
+        h = _layer_norm(p["ffn_layernorm"], h)
+    h = _linear(p["fc2"], h)
+    if "adapter" in p:
+        h = _apply_adapter(p["adapter"], h)
+    if "w_resid" in p:
+        residual = residual * p["w_resid"].astype(residual.dtype)
+    return jax.lax.with_sharding_constraint(residual + h, spec)
+
+
+def _decoder_layer_sp(
+    p: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # [B, T, d], T divisible by the ring size
+    pos_q: jnp.ndarray,  # [B, H, T, hd] self-attn decomposed abs-pos
+    pos_k: jnp.ndarray,
+    rel: jnp.ndarray,  # [H, T, T] self-attn rel bias
+    self_pad: jnp.ndarray,  # [B, T]
+    enc_x: jnp.ndarray,  # [B, S, d] encoder stream (replicated over seq)
+    enc_pad: jnp.ndarray,  # [B, S]
+    cross_pos_q: jnp.ndarray,  # [B, H, T, hd]
+    cross_pos_k: jnp.ndarray,  # [B, H, S, hd]
+    mesh,
+) -> jnp.ndarray:
+    """Pre-LN decoder block under sequence parallelism (deterministic only —
+    see _encoder_layer_sp). Causal self-attention rides the ring on global
+    positions; cross attention is embarrassingly parallel in the query rows
+    (each device attends its T/P queries against the full encoder K/V), so
+    it stays plain XLA under the seq sharding constraint."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    bax = "data" if ("data" in mesh.shape and mesh.shape["data"] > 1) else None
+    spec = NamedSharding(mesh, PartitionSpec(bax, "seq", None))
+    x = jax.lax.with_sharding_constraint(x, spec)
+    H = cfg.attention_heads
+
+    residual = x
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    h = _ring_self_attn(
+        p["self_attn"], cfg, h, pos_q, pos_k, rel, self_pad, mesh, causal=True
+    )
+    if "self_attn_ln" in p:
+        h = _layer_norm(p["self_attn_ln"], h)
+    x = residual + h
+
+    # cross attention: q rows partition over seq, full encoder K/V
+    residual = x
+    h = _layer_norm(p["encoder_attn_layer_norm"], x)
+    pc = p["encoder_attn"]
+    scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
+    q = _split_heads(_linear(pc["q_proj"], h) * scaling, H)
+    k = _split_heads(_linear(pc["k_proj"], enc_x), H)
+    v = _split_heads(_linear(pc["v_proj"], enc_x), H)
+    w = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = w + jnp.einsum(
+        "bhqd,bhkd->bhqk", cross_pos_q.astype(q.dtype),
+        cross_pos_k.astype(q.dtype), preferred_element_type=jnp.float32,
+    )
+    w = jnp.where(enc_pad[:, None, None, :], NEG_INF, w)
+    probs = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = _merge_heads(out)
+    if "c_attn" in pc:
+        b, t, _ = out.shape
+        out = (
+            out.reshape(b, t, H, cfg.head_dim)
+            * pc["c_attn"].astype(out.dtype)[None, None, :, None]
+        ).reshape(b, t, -1)
+    h = _linear(pc["out_proj"], out)
+    if "cross_attn_ln" in p:
+        h = _layer_norm(p["cross_attn_ln"], h)
     x = residual + h
 
     residual = x
@@ -1390,6 +1467,25 @@ def decode(
         and not cfg.decoder_prompt
         and (deterministic or cfg.attention_dropout == 0.0)
     )
+    # sequence parallelism over the TARGET stream: causal ring self-attn +
+    # query-row-partitioned cross attention (see _decoder_layer_sp)
+    sp_mesh = _active_seq_mesh(cfg)
+    if sp_mesh is not None and (
+        (code_masks is not None and not code_masks_all)
+        or cfg.decoder_prompt
+        or not (
+            deterministic
+            or (
+                cfg.dropout == 0.0
+                and cfg.attention_dropout == 0.0
+                and cfg.activation_dropout == 0.0
+                and cfg.decoder_drop_path_rate == 0.0
+            )
+        )
+    ):
+        sp_mesh = None
+    if sp_mesh is not None:
+        use_flash = True
     dec_dp = cfg.decoder_drop_path_rate > 0 and not deterministic
     dec_prompt_kv = (
         _prompt_kv(
@@ -1468,7 +1564,13 @@ def decode(
         _SkT = -(-T // 128) * 128
         _bqT = 256 if (T >= 256 and _SkT <= 1024) else 128
         Tpad = -(-T // _bqT) * _bqT
-        if _pad_once and Tpad != T and Tpad <= T * 1.1:
+        if sp_mesh is not None:
+            # the ring shards T evenly; pad with kpad rows (causality already
+            # hides the trailing pad cols from real rows)
+            Tpad = -(-T // sp_mesh.shape["seq"]) * sp_mesh.shape["seq"]
+        if (sp_mesh is not None and Tpad != T) or (
+            sp_mesh is None and _pad_once and Tpad != T and Tpad <= T * 1.1
+        ):
             tpw = ((0, 0), (0, Tpad - T), (0, 0))
             hpw = ((0, 0), (0, 0), (0, Tpad - T), (0, 0))
             x = jnp.pad(x, tpw)
@@ -1483,17 +1585,30 @@ def decode(
             )
             T = Tpad
 
-        def layer_body(x, layer_in):
-            layer_p, rt, dp_rate = layer_in
-            fwd = lambda xx: _decoder_layer(
-                layer_p, cfg, xx, None, None, enc_x, enc_pad, self_pad,
-                causal_offset=None, rngs=rngs, deterministic=deterministic,
-                flash=(pos_q, pos_k, rt, cross_pos_q, cross_pos_k),
-                drop_path_rate=dp_rate if dec_dp else None,
-            )[0]
-            if cfg.remat:
-                fwd = jax.checkpoint(fwd)
-            return fwd(x), None
+        if sp_mesh is not None:
+
+            def layer_body(x, layer_in):
+                layer_p, rt, dp_rate = layer_in
+                fwd = lambda xx: _decoder_layer_sp(
+                    layer_p, cfg, xx, pos_q, pos_k, rt, self_pad,
+                    enc_x, enc_pad, cross_pos_q, cross_pos_k, sp_mesh,
+                )
+                if cfg.remat:
+                    fwd = jax.checkpoint(fwd)
+                return fwd(x), None
+        else:
+
+            def layer_body(x, layer_in):
+                layer_p, rt, dp_rate = layer_in
+                fwd = lambda xx: _decoder_layer(
+                    layer_p, cfg, xx, None, None, enc_x, enc_pad, self_pad,
+                    causal_offset=None, rngs=rngs, deterministic=deterministic,
+                    flash=(pos_q, pos_k, rt, cross_pos_q, cross_pos_k),
+                    drop_path_rate=dp_rate if dec_dp else None,
+                )[0]
+                if cfg.remat:
+                    fwd = jax.checkpoint(fwd)
+                return fwd(x), None
 
         xs = (dec["layers"], rel_flash, _dec_dpr(cfg))
     else:
@@ -1541,7 +1656,10 @@ def decode(
     )
     pipe_mesh = (
         _active_pipe_mesh(cfg)
-        if (use_flash and code_masks is None and (rngs is None or _no_reg_dec))
+        if (
+            use_flash and sp_mesh is None and code_masks is None
+            and (rngs is None or _no_reg_dec)
+        )
         else None
     )
     if pipe_mesh is not None:

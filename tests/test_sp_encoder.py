@@ -59,6 +59,57 @@ def test_encoder_seq_parallel_pads_odd_length(cpu_devices):
     )
 
 
+def test_forward_seq_parallel_parity(cpu_devices):
+    """Full forward() (SP encoder + SP decoder: causal ring self-attn,
+    query-partitioned cross attn) == plain forward; T=6 pads to 8."""
+    cfg = tiny_cfg(seq_parallel=True)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    src, imgs, masks = make_batch(cfg, B=2)
+    rng = np.random.RandomState(7)
+    prev = jnp.asarray(rng.randint(4, 100, (2, 6)), jnp.int32)
+    prev = prev.at[0, 4:].set(cfg.pad)  # ragged target
+
+    ref = ofa.forward(
+        params, replace(cfg, seq_parallel=False), src, prev, imgs, masks
+    )
+
+    mesh = _seq_mesh(cpu_devices)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p: ofa.forward(p, cfg, src, prev, imgs, masks))(params)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(ref[..., : cfg.vocab_size], np.float32),
+        np.asarray(out[..., : cfg.vocab_size], np.float32),
+        rtol=5e-4, atol=5e-4,
+    )
+
+
+def test_forward_seq_parallel_grads(cpu_devices):
+    from jax.flatten_util import ravel_pytree
+
+    cfg = tiny_cfg(seq_parallel=True)
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    src, imgs, masks = make_batch(cfg, B=2)
+    prev = jnp.asarray(
+        np.random.RandomState(8).randint(4, 100, (2, 6)), jnp.int32
+    )
+
+    def loss(p, c):
+        logits = ofa.forward(p, c, src, prev, imgs, masks)
+        return jnp.sum(
+            jax.nn.log_softmax(logits[..., : cfg.vocab_size].astype(jnp.float32)) ** 2
+        ) * 1e-5
+
+    g_ref = jax.grad(lambda p: loss(p, replace(cfg, seq_parallel=False)))(params)
+    mesh = _seq_mesh(cpu_devices)
+    with jax.set_mesh(mesh):
+        g_sp = jax.jit(jax.grad(lambda p: loss(p, cfg)))(params)
+    f1, _ = ravel_pytree(g_ref)
+    f2, _ = ravel_pytree(jax.device_get(g_sp))
+    scale = float(jnp.abs(f1).max()) + 1e-9
+    assert float(jnp.abs(f1 - f2).max()) / scale < 2e-3
+
+
 def test_encoder_seq_parallel_grads(cpu_devices):
     from jax.flatten_util import ravel_pytree
 
