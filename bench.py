@@ -5,7 +5,16 @@ whatever accelerator jax sees (1 TPU chip under the driver): encoder over
 TEP-prompt + 480² image (900 patches) and beam=5/max_len_b=16 decode —
 the reference eval config (run_scripts/caption/evaluate_caption_base.sh:36-57).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+TIMEOUT-PROOF STRUCTURE (r4, after BENCH_r03 died to an all-or-nothing
+layout): the headline JSON line is printed IMMEDIATELY after the first
+timed program, then re-printed enriched after every additional stage —
+every printed line is a complete valid record, so whether the driver
+takes the first or the last JSON line it gets a number. Extra stages run
+inside a wall-clock budget (env BENCH_BUDGET_S, default 1200 s); stages
+that don't fit are listed in "skipped_stages" instead of blocking the
+headline. Each stage is also exception-isolated ("stage_errors").
+
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", ...extras}.
 vs_baseline is vs the PyTorch reference's measured A100 throughput when
 known; we use 2.4 samples/sec/GPU as the reference-class anchor (fp16,
 batch 16, beam 5 — typical OFA-base caption eval throughput; the repo
@@ -19,14 +28,20 @@ constants exceed the remote compiler's request limit), and take the best
 of 3 repetitions (the shared axon tunnel shows occasional multi-second
 stalls unrelated to device time).
 
-Honest-denominator extras (VERDICT r1 §5): per-phase breakdown (encoder /
-decode loop), model FLOPs from XLA cost analysis → MFU vs v5e bf16 peak,
-and the int8-output-projection serving variant. Inference at modest batch
-is decode-loop (bandwidth) bound; single-digit MFU is expected — the
-roofline limit for the decode phase is HBM bandwidth, not the MXU.
+MFU CONVENTION (r4, VERDICT r3 §weak-2): ALL MFU numbers use the analytic
+FLOPs accounting in musketeer_tpu/utils/flops.py — matmul/conv MACs × 2
+from shapes, backward = 2× forward, NO remat recompute, R-Drop's doubled
+forward counted (it is algorithmic work). XLA cost analysis is NOT used:
+it counts lax.scan bodies once (undercounts scanned stacks ~L×) and
+counts remat recompute under unroll (the r3 0.178-vs-0.043 "joint MFU"
+discrepancy was exactly this — 0.178 divided recompute-inflated XLA FLOPs,
+0.043 divided per-microbatch cost by the full-step time; neither was the
+algorithmic convention used from r4 on). Inference at modest batch is
+decode-loop (bandwidth) bound; single-digit MFU is expected there.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -35,19 +50,14 @@ REFERENCE_SAMPLES_PER_SEC = 2.4  # anchor; see docstring
 V5E_BF16_PEAK_FLOPS = 197e12  # v5e per-chip bf16 peak (public spec)
 
 
-def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
-    """Time the full 9-task joint train step (fwd+bwd+adam) at the reference
-    training envelope, plus a 7-GLUE packed-vs-sequential ablation.
-
-    ``img_size``/``B``/``scale`` shrink the shapes for CPU smoke tests;
-    defaults are the reference envelope (480² patches, batch 2/task,
-    run_scripts/musketeer/train_musketeer.sh:51-79).
-    Returns a dict of metrics merged into the headline JSON line."""
-    import jax
+def make_joint_batches(cfg, img_size=480, B=2, scale=1.0):
+    """The 9-task reference training envelope as synthetic TaskBatches
+    (run_scripts/musketeer/train_musketeer.sh:51-79). Returns
+    (batches, flops_fwd) where flops_fwd is the analytic forward FLOPs of
+    one R-Drop-doubled step (utils/flops.py convention)."""
     import jax.numpy as jnp
-    from musketeer_tpu.config import CriterionConfig, OptimConfig
-    from musketeer_tpu.training import init_train_state, make_train_step
     from musketeer_tpu.training.train_step import TaskBatch
+    from musketeer_tpu.utils import flops as F
 
     rs = np.random.RandomState(0)
     Vp = cfg.padded_vocab_size
@@ -55,8 +65,16 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
     grid = (img_size // 16) ** 2
     L = lambda n: max(3, int(round(n * scale)))
 
+    flops_acc = [0.0]
+
     def tb(B, Ts, Tt, img=False, cm=False, conf=None, code=False, spn=None):
         Ts, Tt = L(Ts), L(Tt)
+        if spn:
+            spn = min(spn, grid)
+        flops_acc[0] += F.seq2seq_fwd_flops(
+            cfg, B, Ts, Tt, img_size=img_size if img else None,
+            n_patches=spn, rdrop=True,
+        )
         tgt = rs.randint(4, hi, (B, Tt)).astype(np.int32)
         tgt[:, -1] = cfg.eos
         prev = np.roll(tgt, 1, 1)
@@ -68,7 +86,6 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
             cmask = m
         order = None
         if spn:
-            spn = min(spn, grid)
             order = np.stack(
                 [rs.permutation(grid)[:spn] for _ in range(B)]
             ).astype(np.int32)
@@ -99,88 +116,7 @@ def bench_joint_train(params, cfg, img_size=480, B=2, scale=1.0, iters=3):
         "gigaword": tb(B, 512, 32),
         "text_infilling": tb(B, 512, 32),  # packs with gigaword
     }
-    from dataclasses import replace as _replace
-
-    # layer remat: the 9-task step (R-Drop-doubled, 6 vision encoders +
-    # a 1025-token code decode) exceeds one chip's 16G without activation
-    # checkpointing — the measured number is the honest production config.
-    # unroll_layers: python-loop the layer stacks so backward residuals are
-    # plain buffers, not dynamic-update-slice stacks (measured -10% on the
-    # single-task fwd+bwd, probe_unroll r3; O(L) compile is one-time via
-    # the persistent cache)
-    cfg = _replace(cfg, remat=True, unroll_layers=True)
-    crit = CriterionConfig(
-        label_smoothing=0.1, use_rdrop=True,
-        drop_worst_ratio=0.2, drop_worst_after=6000,
-    )
-    optim = OptimConfig(lr=1e-4, warmup_updates=1000, total_updates=30000)
-    state = init_train_state(params, optim)
-    state = state._replace(step=jnp.int32(7000))  # drop-worst active regime
-    step_fn = make_train_step(cfg, crit, optim, donate=False)
-
-    def timed_step(fn, st, bt, iters=iters, reps=2):
-        fn(st, bt, jax.random.PRNGKey(0))[1]["loss"].block_until_ready()
-        best = float("inf")
-        for r in range(reps):
-            t0 = time.perf_counter()
-            out = None
-            for i in range(iters):
-                _, out = fn(st, bt, jax.random.PRNGKey(r * 97 + i))
-            np.asarray(out["loss"])
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
-    joint_s = timed_step(step_fn, state, batches)
-    # packing ablation on the full 9-task step: text packing (gigaword +
-    # text_infilling bucket) + vision-stem packing (6 vision tasks → ONE
-    # batch-12 ResNet pass) vs the reference's per-task sequential layout.
-    # The unpacked variant runs SCANNED layer stacks: the flat unrolled
-    # 9-forward graph gives the XLA scheduler enough freedom to overlap
-    # task forwards and its peak HBM OOMs one chip (r3e-g triage,
-    # probe_joint.py) — scan serializes it, matching how this ablation was
-    # originally measured.
-    step_unpacked = make_train_step(
-        _replace(cfg, unroll_layers=False), crit, optim, donate=False,
-        pack_text=False, pack_vision=False
-    )
-    joint_unpacked_s = timed_step(step_unpacked, state, batches)
-    out = {
-        "joint_train_step_ms": round(joint_s * 1000.0, 1),
-        "joint_train_samples_per_sec": round(9 * B / joint_s, 1),
-        "joint_unpacked_step_ms": round(joint_unpacked_s * 1000.0, 1),
-        "joint_pack_speedup": round(joint_unpacked_s / joint_s, 2),
-    }
-    try:
-        ca = (
-            step_fn.lower(state, batches, jax.random.PRNGKey(0))
-            .compile()
-            .cost_analysis()
-        )
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        if flops > 0:
-            out["joint_train_mfu_vs_v5e_peak"] = round(
-                flops / joint_s / V5E_BF16_PEAK_FLOPS, 4
-            )
-            out["joint_train_tflops_per_step"] = round(flops / 1e12, 2)
-    except Exception:
-        pass
-
-    # ---- packing ablation: 7 GLUE-bucket text tasks, one packed forward vs
-    # seven sequential forwards (same batches, same step fn semantics)
-    glue = {
-        name: tb(B, 120, 4, cm=True)
-        for name in ("cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli")
-    }
-    fn_pack = make_train_step(cfg, crit, optim, donate=False, pack_text=True)
-    fn_seq = make_train_step(cfg, crit, optim, donate=False, pack_text=False)
-    pack_s = timed_step(fn_pack, state, glue)
-    seq_s = timed_step(fn_seq, state, glue)
-    out["glue7_packed_step_ms"] = round(pack_s * 1000.0, 1)
-    out["glue7_sequential_step_ms"] = round(seq_s * 1000.0, 1)
-    out["glue7_pack_speedup"] = round(seq_s / pack_s, 2)
-    return out
+    return batches, flops_acc[0]
 
 
 def main():
@@ -194,10 +130,37 @@ def main():
     import jax.numpy as jnp
     from dataclasses import replace
 
-    from musketeer_tpu.config import GenerationConfig, ofa_base
+    from musketeer_tpu.config import (
+        CriterionConfig, GenerationConfig, OptimConfig, ofa_base,
+    )
     from musketeer_tpu.generation import beam_search
     from musketeer_tpu.models import ofa
     from musketeer_tpu.tokenization import default_vocab
+    from musketeer_tpu.utils import flops as F
+
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+    res = {
+        "metric": "caption_inference_samples_per_sec_per_chip",
+        "value": None,
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+    }
+
+    def emit():
+        res["bench_elapsed_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(res), flush=True)
+
+    def run_stage(name, fn):
+        if time.time() - t_start > budget_s:
+            res.setdefault("skipped_stages", []).append(name)
+            return
+        try:
+            fn()
+        except Exception as e:  # a failing extra must not kill the record
+            res.setdefault("stage_errors", {})[name] = repr(e)[:200]
+        emit()
 
     v = default_vocab()
     cfg = replace(ofa_base(), dtype="bfloat16", use_flash_attention=True)
@@ -209,6 +172,7 @@ def main():
     imgs = jnp.asarray(np.random.RandomState(0).rand(B, 480, 480, 3), jnp.float32)
     masks = jnp.ones((B,), bool)
     gen_cfg = GenerationConfig(beam_size=5, max_len_b=16, min_len=1, no_repeat_ngram_size=3)
+    n_decode_steps = gen_cfg.max_len_b + 1
 
     _tick = [0]
 
@@ -232,131 +196,115 @@ def main():
         # exclude the tunnel transfer from the timing
         return toks.sum(axis=(1, 2)), scores.mean(axis=1)
 
-    @jax.jit
-    def run_encoder(params, src, imgs, masks, i):
-        enc = ofa.encode(params, cfg, src, imgs + i, masks)
-        return enc.x.astype(jnp.float32).mean(axis=(1, 2))
-
-    @jax.jit
-    def run_resnet(params, src, imgs, masks, i):
-        from musketeer_tpu.models.resnet import resnet_forward
-
-        feats = resnet_forward(
-            params["encoder"]["resnet"], (imgs + i).astype(jnp.bfloat16)
-        )
-        return feats.astype(jnp.float32).mean(axis=(1, 2, 3))
-
+    # ---- stage 1 (ALWAYS runs, no budget guard): the headline number ----
     full_s = timed(run, params, src, imgs, masks)
-    enc_s = timed(run_encoder, params, src, imgs, masks)
-    resnet_s = timed(run_resnet, params, src, imgs, masks)
-    decode_s = max(full_s - enc_s, 0.0)
-    # decode steps = while_loop iterations 0..max_len inclusive
-    n_decode_steps = gen_cfg.max_len_b + 1
-
-    # mixed-length sources (pad-variance honesty check: real TSV batches are
-    # not uniform prompts; same padded width, varying real lengths)
-    rng_m = np.random.RandomState(2)
-    src_mixed = np.asarray(src).copy()
-    for b in range(B):
-        keep = 4 + rng_m.randint(0, src_mixed.shape[1] - 4)
-        src_mixed[b, keep:] = 1  # pad id
-    src_mixed = jnp.asarray(src_mixed)
-    mixed_s = timed(run, params, src_mixed, imgs, masks)
-    mixed_sps = B / mixed_s
-
     samples_per_sec = B / full_s
-    p50_latency_ms = full_s * 1000.0
+    res["value"] = round(samples_per_sec, 3)
+    res["vs_baseline"] = round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2)
+    res["p50_batch_latency_ms"] = round(full_s * 1000.0, 1)
+    res["bf16_samples_per_sec"] = round(samples_per_sec, 1)
+    # analytic inference MFU (matmul FLOPs from shapes; decode is
+    # bandwidth-bound so single-digit MFU is the roofline-expected regime)
+    infer_flops = F.caption_inference_flops(
+        cfg, B, len(prompt), 480, gen_cfg.beam_size, n_decode_steps
+    )
+    res["mfu_inference"] = round(infer_flops / full_s / V5E_BF16_PEAK_FLOPS, 4)
+    res["gflops_per_sample"] = round(infer_flops / B / 1e9, 1)
+    res["method"] = (
+        "varying-input timing, tiny outputs, best-of-3 reps (tunnel-stall "
+        "robust); incremental JSON emission + BENCH_BUDGET_S stage budget; "
+        "MFU = analytic FLOPs (utils/flops.py), never XLA cost analysis"
+    )
+    res["config"] = (
+        "ofa_base, bf16, flash-attn, batch=16, beam=5, max_len_b=16, "
+        "480x480; headline=best(bf16, int8-outproj, +int8-kv)"
+    )
+    emit()
 
     # ---- int8 output projection serving variant (halved decode HBM read)
     params_q = ofa.quantize_output_proj(params)
-    int8_s = timed(run, params_q, src, imgs, masks)
-    int8_sps = B / int8_s
 
-    # ---- + int8 cross-KV cache. NEGATIVE RESULT at B16/S~900 on v5e:
-    # measured ~6% SLOWER than bf16 KV (XLA materializes the int8->bf16
-    # convert instead of fusing it into the attention einsum), so the
-    # headline picks the faster variant; the option remains for its 2x
-    # cache-memory saving (large S / batch).
-    gen_cfg_kv = replace(gen_cfg, int8_cross_kv=True)
+    def stage_int8():
+        int8_s = timed(run, params_q, src, imgs, masks)
+        int8_sps = B / int8_s
+        res["int8_outproj_samples_per_sec"] = round(int8_sps, 1)
+        if int8_sps > res["value"]:
+            res["value"] = round(int8_sps, 3)
+            res["vs_baseline"] = round(int8_sps / REFERENCE_SAMPLES_PER_SEC, 2)
 
-    @jax.jit
-    def run_kv(params, src, imgs, masks, i):
-        enc = ofa.encode(params, cfg, src, imgs + i, masks)
-        toks, scores = beam_search(params, cfg, gen_cfg_kv, enc, max_len=16)
-        return toks.sum(axis=(1, 2)), scores.mean(axis=1)
+    run_stage("int8_outproj", stage_int8)
 
-    kv_s = timed(run_kv, params_q, src, imgs, masks)
-    kv_sps = B / kv_s
+    # ---- encoder / resnet phase breakdown
+    def stage_breakdown():
+        @jax.jit
+        def run_encoder(params, src, imgs, masks, i):
+            enc = ofa.encode(params, cfg, src, imgs + i, masks)
+            return enc.x.astype(jnp.float32).mean(axis=(1, 2))
 
-    # ---- gated fast softmax (skip max-subtract) encoder variant
-    # (VERDICT r2 #3: the encoder flash kernel is VPU-bound on softmax;
-    # numerics gate = tests/test_flash_attention.py::test_skip_max_subtract)
-    cfg_sm = replace(cfg, flash_skip_max_subtract=True)
+        @jax.jit
+        def run_resnet(params, src, imgs, masks, i):
+            from musketeer_tpu.models.resnet import resnet_forward
 
-    @jax.jit
-    def run_encoder_sm(params, src, imgs, masks, i):
-        enc = ofa.encode(params, cfg_sm, src, imgs + i, masks)
-        return enc.x.astype(jnp.float32).mean(axis=(1, 2))
+            feats = resnet_forward(
+                params["encoder"]["resnet"], (imgs + i).astype(jnp.bfloat16)
+            )
+            return feats.astype(jnp.float32).mean(axis=(1, 2, 3))
 
-    enc_sm_s = timed(run_encoder_sm, params, src, imgs, masks)
-    mfu = flops_per_sample = None
-    try:
-        ca = run.lower(
-            params, src, imgs, masks, jnp.float32(0.0)
-        ).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        if flops > 0:
-            flops_per_sample = flops / B
-            mfu = flops / full_s / V5E_BF16_PEAK_FLOPS
-    except Exception:
-        pass
+        enc_s = timed(run_encoder, params, src, imgs, masks)
+        resnet_s = timed(run_resnet, params, src, imgs, masks)
+        decode_s = max(full_s - enc_s, 0.0)
+        res["encoder_ms"] = round(enc_s * 1000.0, 1)
+        res["resnet_ms"] = round(resnet_s * 1000.0, 1)
+        res["encoder_layers_ms"] = round((enc_s - resnet_s) * 1000.0, 1)
+        res["decode_loop_ms"] = round(decode_s * 1000.0, 1)
+        res["decode_ms_per_step"] = round(decode_s / n_decode_steps * 1000.0, 2)
 
-    # larger-batch throughput (batch 32; the headline stays at the
-    # reference's eval batch of 16 for comparability)
-    B2 = 32
-    src2 = jnp.concatenate([src, src], axis=0)
-    imgs2 = jnp.concatenate([imgs, imgs], axis=0)
-    masks2 = jnp.ones((B2,), bool)
-    b32_s = timed(run, params_q, src2, imgs2, masks2)
-    b32_sps = B2 / b32_s
+    run_stage("phase_breakdown", stage_breakdown)
 
     # ---- training fwd+bwd throughput (caption-style CE, the joint-train
     # hot path; exercises the Pallas attention VJP kernels). Batch 8 ≈ the
     # reference's per-GPU bs=2 × update_freq=4 slice of its accum window.
-    Bt, Tt = 8, 20
-    rng_t = np.random.RandomState(1)
-    prev = jnp.asarray(
-        np.concatenate(
-            [np.full((Bt, 1), 0), rng_t.randint(4, 50000, (Bt, Tt - 1))], axis=1
-        ),
-        jnp.int32,
-    )
-    tgt = jnp.asarray(rng_t.randint(4, 50000, (Bt, Tt)), jnp.int32)
-
-    # unrolled layer loops on the train path (probe_unroll: 112.3→100.8 ms)
-    cfg_train = replace(cfg, unroll_layers=True)
-
-    @jax.jit
-    def train_fwd_bwd(params, src, imgs, masks, i):
-        def loss_fn(p):
-            logits = ofa.forward(p, cfg_train, src, prev, imgs + i, masks)
-            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        gnorm = jax.tree.reduce(
-            lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
-            grads,
-            jnp.float32(0.0),
+    def stage_train_fwd_bwd():
+        Bt, Tt = 8, 20
+        rng_t = np.random.RandomState(1)
+        prev = jnp.asarray(
+            np.concatenate(
+                [np.full((Bt, 1), 0), rng_t.randint(4, 50000, (Bt, Tt - 1))],
+                axis=1,
+            ),
+            jnp.int32,
         )
-        return loss, gnorm
+        tgt = jnp.asarray(rng_t.randint(4, 50000, (Bt, Tt)), jnp.int32)
 
-    train_s = timed(
-        train_fwd_bwd, params, src[:Bt], imgs[:Bt], masks[:Bt], iters=3
-    )
-    train_sps = Bt / train_s
+        # unrolled layer loops on the train path (probe_unroll: 112.3→100.8 ms)
+        cfg_train = replace(cfg, unroll_layers=True)
+
+        @jax.jit
+        def train_fwd_bwd(params, src, imgs, masks, i):
+            def loss_fn(p):
+                logits = ofa.forward(p, cfg_train, src, prev, imgs + i, masks)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            gnorm = jax.tree.reduce(
+                lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
+                grads,
+                jnp.float32(0.0),
+            )
+            return loss, gnorm
+
+        train_s = timed(
+            train_fwd_bwd, params, src[:Bt], imgs[:Bt], masks[:Bt], iters=3
+        )
+        res["train_fwd_bwd_samples_per_sec"] = round(Bt / train_s, 1)
+        res["train_step_ms_b8"] = round(train_s * 1000.0, 1)
+        tf = F.TRAIN_FWD_BWD_MULT * F.seq2seq_fwd_flops(
+            cfg, Bt, src.shape[1], Tt, img_size=480
+        )
+        res["mfu_train_b8"] = round(tf / train_s / V5E_BF16_PEAK_FLOPS, 4)
+
+    run_stage("train_fwd_bwd", stage_train_fwd_bwd)
 
     # ---- 9-task joint train step (the flagship capability; VERDICT r2 #1).
     # Reference envelope (run_scripts/musketeer/train_musketeer.sh:51-79):
@@ -364,42 +312,183 @@ def main():
     # 0.2 after 6k updates, sample_patch_num=196 on the head (caption) batch.
     # Text tasks sharing the 512/32 bucket (gigaword + text_infilling) run as
     # ONE packed forward (SURVEY §7 packing).
-    joint = bench_joint_train(params, cfg)
+    from musketeer_tpu.training import init_train_state, make_train_step
 
-    best = max(samples_per_sec, int8_sps, kv_sps)
-    print(
-        json.dumps(
-            {
-                "metric": "caption_inference_samples_per_sec_per_chip",
-                "value": round(best, 3),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(best / REFERENCE_SAMPLES_PER_SEC, 2),
-                "p50_batch_latency_ms": round(p50_latency_ms, 1),
-                "bf16_samples_per_sec": round(samples_per_sec, 1),
-                "int8_outproj_samples_per_sec": round(int8_sps, 1),
-                "int8_outproj_kv_samples_per_sec": round(kv_sps, 1),
-                "b32_int8_samples_per_sec": round(b32_sps, 1),
-                "train_fwd_bwd_samples_per_sec": round(train_sps, 1),
-                "train_step_ms_b8": round(train_s * 1000.0, 1),
-                "mixed_len_samples_per_sec": round(mixed_sps, 1),
-                "encoder_ms": round(enc_s * 1000.0, 1),
-                "encoder_skipmax_ms": round(enc_sm_s * 1000.0, 1),
-                "resnet_ms": round(resnet_s * 1000.0, 1),
-                "encoder_layers_ms": round((enc_s - resnet_s) * 1000.0, 1),
-                "decode_loop_ms": round(decode_s * 1000.0, 1),
-                "decode_ms_per_step": round(
-                    decode_s / n_decode_steps * 1000.0, 2
-                ),
-                **joint,
-                "mfu_vs_v5e_peak": round(mfu, 4) if mfu else None,
-                "gflops_per_sample": round(flops_per_sample / 1e9, 1)
-                if flops_per_sample
-                else None,
-                "method": "varying-input timing, tiny outputs, best-of-3 reps (tunnel-stall robust); see module docstring",
-                "config": "ofa_base, bf16, flash-attn, batch=16, beam=5, max_len_b=16, 480x480; headline=best(bf16, int8-outproj, +int8-kv)",
-            }
-        )
+    Bj = 2
+    joint_state = {}
+
+    def timed_step(fn, st, bt, iters=3, reps=2):
+        fn(st, bt, jax.random.PRNGKey(0))[1]["loss"].block_until_ready()
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(iters):
+                _, out = fn(st, bt, jax.random.PRNGKey(r * 97 + i))
+            np.asarray(out["loss"])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    # layer remat: the 9-task step (R-Drop-doubled, 6 vision encoders +
+    # a 1025-token code decode) exceeds one chip's 16G without activation
+    # checkpointing — the measured number is the honest production config.
+    # unroll_layers: python-loop the layer stacks so backward residuals are
+    # plain buffers, not dynamic-update-slice stacks (measured -10% on the
+    # single-task fwd+bwd, probe_unroll r3; O(L) compile is one-time via
+    # the persistent cache)
+    cfg_joint = replace(cfg, remat=True, unroll_layers=True)
+    crit = CriterionConfig(
+        label_smoothing=0.1, use_rdrop=True,
+        drop_worst_ratio=0.2, drop_worst_after=6000,
     )
+    optim = OptimConfig(lr=1e-4, warmup_updates=1000, total_updates=30000)
+
+    def stage_joint():
+        batches, fwd_flops = make_joint_batches(cfg_joint, B=Bj)
+        state = init_train_state(params, optim)
+        state = state._replace(step=jnp.int32(7000))  # drop-worst active
+        step_fn = make_train_step(cfg_joint, crit, optim, donate=False)
+        joint_s = timed_step(step_fn, state, batches)
+        res["joint_train_step_ms"] = round(joint_s * 1000.0, 1)
+        res["joint_train_samples_per_sec"] = round(9 * Bj / joint_s, 1)
+        # analytic convention: fwd(with R-Drop doubling) × 3, no remat
+        # recompute — the remat'd production config pays recompute in TIME,
+        # which honestly lowers this MFU rather than inflating the FLOPs
+        res["mfu_train_joint"] = round(
+            F.TRAIN_FWD_BWD_MULT * fwd_flops / joint_s / V5E_BF16_PEAK_FLOPS, 4
+        )
+        res["joint_train_tflops_per_step"] = round(
+            F.TRAIN_FWD_BWD_MULT * fwd_flops / 1e12, 2
+        )
+        joint_state["state"] = state
+        joint_state["batches"] = batches
+
+    run_stage("joint_train", stage_joint)
+
+    # ---- larger-batch / robustness / serving variants
+    def stage_b32():
+        B2 = 32
+        src2 = jnp.concatenate([src, src], axis=0)
+        imgs2 = jnp.concatenate([imgs, imgs], axis=0)
+        masks2 = jnp.ones((B2,), bool)
+        b32_s = timed(run, params_q, src2, imgs2, masks2)
+        res["b32_int8_samples_per_sec"] = round(B2 / b32_s, 1)
+
+    run_stage("batch32", stage_b32)
+
+    def stage_mixed():
+        # mixed-length sources (pad-variance honesty check: real TSV batches
+        # are not uniform prompts; same padded width, varying real lengths)
+        rng_m = np.random.RandomState(2)
+        src_mixed = np.asarray(src).copy()
+        for b in range(B):
+            keep = 4 + rng_m.randint(0, src_mixed.shape[1] - 4)
+            src_mixed[b, keep:] = 1  # pad id
+        mixed_s = timed(run, params, jnp.asarray(src_mixed), imgs, masks)
+        res["mixed_len_samples_per_sec"] = round(B / mixed_s, 1)
+
+    run_stage("mixed_len", stage_mixed)
+
+    def stage_int8_kv():
+        # + int8 cross-KV cache. NEGATIVE RESULT at B16/S~900 on v5e:
+        # measured ~6% SLOWER than bf16 KV (XLA materializes the int8->bf16
+        # convert instead of fusing it into the attention einsum), so the
+        # headline picks the faster variant; the option remains for its 2x
+        # cache-memory saving (large S / batch).
+        gen_cfg_kv = replace(gen_cfg, int8_cross_kv=True)
+
+        @jax.jit
+        def run_kv(params, src, imgs, masks, i):
+            enc = ofa.encode(params, cfg, src, imgs + i, masks)
+            toks, scores = beam_search(params, cfg, gen_cfg_kv, enc, max_len=16)
+            return toks.sum(axis=(1, 2)), scores.mean(axis=1)
+
+        kv_s = timed(run_kv, params_q, src, imgs, masks)
+        kv_sps = B / kv_s
+        res["int8_outproj_kv_samples_per_sec"] = round(kv_sps, 1)
+        if kv_sps > res["value"]:
+            res["value"] = round(kv_sps, 3)
+            res["vs_baseline"] = round(kv_sps / REFERENCE_SAMPLES_PER_SEC, 2)
+
+    run_stage("int8_kv", stage_int8_kv)
+
+    def stage_skipmax():
+        # gated fast softmax (skip max-subtract) encoder variant
+        # (numerics gate = tests/test_flash_attention.py::test_skip_max_subtract)
+        cfg_sm = replace(cfg, flash_skip_max_subtract=True)
+
+        @jax.jit
+        def run_encoder_sm(params, src, imgs, masks, i):
+            enc = ofa.encode(params, cfg_sm, src, imgs + i, masks)
+            return enc.x.astype(jnp.float32).mean(axis=(1, 2))
+
+        enc_sm_s = timed(run_encoder_sm, params, src, imgs, masks)
+        res["encoder_skipmax_ms"] = round(enc_sm_s * 1000.0, 1)
+
+    run_stage("encoder_skipmax", stage_skipmax)
+
+    # ---- packing ablations (device-only diagnostics; most expensive last)
+    def stage_joint_unpacked():
+        if "state" not in joint_state:
+            return
+        # The unpacked variant runs SCANNED layer stacks: the flat unrolled
+        # 9-forward graph gives the XLA scheduler enough freedom to overlap
+        # task forwards and its peak HBM OOMs one chip (r3e-g triage,
+        # probe_joint.py) — scan serializes it, matching how this ablation
+        # was originally measured.
+        step_unpacked = make_train_step(
+            replace(cfg_joint, unroll_layers=False), crit, optim,
+            donate=False, pack_text=False, pack_vision=False,
+        )
+        ju_s = timed_step(step_unpacked, joint_state["state"], joint_state["batches"])
+        res["joint_unpacked_step_ms"] = round(ju_s * 1000.0, 1)
+        res["joint_pack_speedup"] = round(
+            ju_s / (res["joint_train_step_ms"] / 1000.0), 2
+        )
+
+    run_stage("joint_unpacked_ablation", stage_joint_unpacked)
+
+    def stage_glue7():
+        # packing ablation: 7 GLUE-bucket text tasks, one packed forward vs
+        # seven sequential forwards (same batches, same step fn semantics)
+        import jax.numpy as jnp2
+
+        rs = np.random.RandomState(3)
+        hi = min(50000, cfg.vocab_size - 1)
+        Vp = cfg.padded_vocab_size
+
+        def glue_tb(Ts=120, Tt=4):
+            from musketeer_tpu.training.train_step import TaskBatch
+
+            tgt = rs.randint(4, hi, (Bj, Tt)).astype(np.int32)
+            tgt[:, -1] = cfg.eos
+            prev = np.roll(tgt, 1, 1)
+            prev[:, 0] = cfg.bos
+            m = rs.rand(Bj, Tt, Vp) < 0.02
+            m[np.arange(Bj)[:, None], np.arange(Tt)[None], tgt] = True
+            add = lambda a: jnp2.asarray(a)[None]
+            return TaskBatch(
+                src_tokens=add(rs.randint(4, hi, (Bj, Ts)).astype(np.int32)),
+                prev_output_tokens=add(prev), target=add(tgt),
+                constraint_masks=add(m),
+            )
+
+        glue = {
+            name: glue_tb()
+            for name in ("cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli")
+        }
+        state = joint_state.get("state") or init_train_state(params, optim)
+        fn_pack = make_train_step(cfg_joint, crit, optim, donate=False, pack_text=True)
+        fn_seq = make_train_step(cfg_joint, crit, optim, donate=False, pack_text=False)
+        pack_s = timed_step(fn_pack, state, glue)
+        seq_s = timed_step(fn_seq, state, glue)
+        res["glue7_packed_step_ms"] = round(pack_s * 1000.0, 1)
+        res["glue7_sequential_step_ms"] = round(seq_s * 1000.0, 1)
+        res["glue7_pack_speedup"] = round(seq_s / pack_s, 2)
+
+    run_stage("glue7_ablation", stage_glue7)
+
+    emit()
 
 
 if __name__ == "__main__":
