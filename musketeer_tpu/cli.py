@@ -35,6 +35,14 @@ def _add_common(p):
 def cmd_train(args):
     import jax
 
+    if args.criterion in ("scst", "clip_scst"):
+        # reward-criterion fine-tuning stage (ref: criterions/scst_loss.py
+        # 'scst_reward_criterion', clip_scst_loss.py; BASELINE configs[4])
+        from .training.scst_loop import run_scst_cli
+
+        run_scst_cli(args)
+        return
+
     from .config import CriterionConfig, MeshConfig, OptimConfig, TrainConfig, ARCH_PRESETS
     from .models import ofa
     from .parallel import make_mesh, shard_params
@@ -74,6 +82,7 @@ def cmd_train(args):
             total_updates=args.total_updates, clip_norm=args.clip_norm,
         ),
         stop_time_hours=args.stop_time_hours,
+        prefetch_depth=args.prefetch_depth,
         async_save=args.async_save,
         save_interval_updates=args.save_interval_updates,
         validate_interval_updates=args.validate_interval_updates,
@@ -112,6 +121,12 @@ def cmd_train(args):
         model_cfg = _replace(
             model_cfg, pipeline_microbatches=args.microbatches,
             pipeline_interleave=args.pipeline_interleave,
+        )
+    elif args.pipeline_interleave > 1:
+        logger.warning(
+            "--pipeline-interleave=%d is ignored without --microbatches "
+            "(the interleaved schedule only exists on the pipelined path)",
+            args.pipeline_interleave,
         )
     if args.seq_parallel > 1:
         model_cfg = _replace(model_cfg, seq_parallel=True)
@@ -169,8 +184,22 @@ def cmd_evaluate(args):
     vocab = default_vocab()
     model_cfg = ARCH_PRESETS[args.arch]()
     if args.pt:
-        params, model_cfg = import_pt(args.pt, None)
-        params = jax.tree.map(jax.numpy.asarray, params)
+        # comma-separated checkpoints → ensemble decoding (ref:
+        # load_model_ensemble_and_task, utils/checkpoint_utils.py:405-495;
+        # lprobs averaged in probability space per step)
+        pt_paths = [p for p in args.pt.split(",") if p]
+        plist = []
+        for p in pt_paths:
+            pi, model_cfg = import_pt(p, None)
+            plist.append(jax.tree.map(jax.numpy.asarray, pi))
+        params = plist[0] if len(plist) == 1 else plist
+        if len(plist) > 1:
+            assert args.task in ("caption", "refcoco", "gigaword"), (
+                f"ensemble eval supports the generation tasks "
+                f"(caption/refcoco/gigaword); {args.task} scores fixed "
+                "candidates — run single-model"
+            )
+            logger.info("ensemble of %d checkpoints", len(plist))
     elif args.ckpt:
         from .config import OptimConfig
         from .training import init_train_state, load_checkpoint
@@ -197,7 +226,11 @@ def cmd_evaluate(args):
         params = ofa.init_ofa_params(jax.random.PRNGKey(0), model_cfg)
 
     if args.int8_output_proj:
-        params = ofa.quantize_output_proj(params)
+        params = (
+            [ofa.quantize_output_proj(p) for p in params]
+            if isinstance(params, list)
+            else ofa.quantize_output_proj(params)
+        )
 
     task_kw = {}
     if args.task not in ("gigaword", "cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli"):
@@ -393,8 +426,25 @@ def main(argv=None):
     pt.add_argument("--drop-best-after", type=int, default=0)
     pt.add_argument("--log-end", type=float, default=None,
                     help="enable encouraging loss with this log_end")
+    pt.add_argument("--criterion", default="label_smoothed",
+                    choices=["label_smoothed", "scst", "clip_scst"],
+                    help="label_smoothed: multi-task CE (default); scst: "
+                         "CIDEr-reward policy gradient on caption data; "
+                         "clip_scst: CLIP-reward PG on image_gen data")
+    pt.add_argument("--scst-sample-beams", type=int, default=5,
+                    help="sampled chains per example for SCST rewards")
+    pt.add_argument("--scst-max-len-b", type=int, default=16,
+                    help="max sampled caption length (scst)")
+    pt.add_argument("--clip-pt", default=None,
+                    help="CLIP .pt checkpoint (clip_scst reward model)")
+    pt.add_argument("--vqgan-pt", default=None,
+                    help="VQGAN .pt/.ckpt checkpoint (clip_scst decoder)")
+    pt.add_argument("--gumbel", action="store_true",
+                    help="--vqgan-pt is a GumbelVQ checkpoint")
     pt.add_argument("--use-rdrop", action="store_true")
     pt.add_argument("--stop-time-hours", type=float, default=0.0)
+    pt.add_argument("--prefetch-depth", type=int, default=2,
+                    help="background batch-prefetch queue depth (0 = off)")
     pt.add_argument("--no-flash", action="store_true",
                     help="disable the Pallas attention kernels (XLA fallback)")
     pt.add_argument("--remat", action="store_true",
@@ -431,7 +481,9 @@ def main(argv=None):
     pe.add_argument("--task", required=True)
     pe.add_argument("--data", required=True)
     pe.add_argument("--ckpt", default=None)
-    pe.add_argument("--pt", default=None, help="reference fairseq .pt checkpoint")
+    pe.add_argument("--pt", default=None,
+                    help="reference fairseq .pt checkpoint; comma-separate "
+                         "several for ensemble decoding (generation tasks)")
     pe.add_argument("--answers-file", default=None)
     pe.add_argument("--use-ema", action="store_true",
                     help="evaluate the EMA shadow params from the checkpoint")

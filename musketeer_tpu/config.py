@@ -309,6 +309,9 @@ class TrainConfig:
     max_epoch: int = 0
     max_update: int = 0
     stop_time_hours: float = 0.0  # wall-clock stop (ref: train.py:387-397)
+    # background-thread batch prefetch depth (0 = synchronous; ref:
+    # fairseq EpochBatchIterator num_workers, tasks/ofa_task.py:157)
+    prefetch_depth: int = 2
     optim: OptimConfig = field(default_factory=OptimConfig)
     criterion: CriterionConfig = field(default_factory=CriterionConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)

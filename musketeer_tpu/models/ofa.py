@@ -27,11 +27,21 @@ Numerics notes (must match the reference for checkpoint parity):
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("musketeer_tpu.models.ofa")
+_warned_once: set = set()
+
+
+def _warn_once(key: str, msg: str, *args) -> None:
+    if key not in _warned_once:
+        _warned_once.add(key)
+        logger.warning(msg, *args)
 
 from ..config import ModelConfig
 from . import positions as pos_lib
@@ -466,6 +476,14 @@ def _usable_interleave(cfg: ModelConfig, n_layers: int, mesh, M: int) -> int:
         return 1
     Pn = mesh.shape["pipe"]
     if n_layers % (Pn * V) != 0 or M > Pn:
+        # silent downgrade would let a user believe the interleaved
+        # schedule is running when it is not (ADVICE r3 #1)
+        _warn_once(
+            f"interleave-{n_layers}-{Pn}-{V}-{M}",
+            "pipeline_interleave=%d falls back to plain GPipe for this "
+            "%d-layer stack (needs layers %% (stages*V) == 0 with stages=%d "
+            "and microbatches %d <= stages)", V, n_layers, Pn, M,
+        )
         return 1
     return V
 
@@ -865,6 +883,15 @@ def encode(
             )
         )
     ):
+        # a run launched with seq_parallel + nonzero dropout would silently
+        # replicate all work over the seq axis with no speedup (ADVICE r3 #2)
+        _warn_once(
+            "sp-gate",
+            "seq_parallel is configured but disabled for this forward "
+            "(dropout/drop-path active, encoder prompts, or per-sample "
+            "patch subsampling) — the encoder runs replicated over the "
+            "seq axis",
+        )
         sp_mesh = None
     if sp_mesh is not None:
         use_flash = True
@@ -992,6 +1019,17 @@ def encode(
                 ].set(rel_tok)
                 if N:
                     rel = rel.at[:, :N, :N].set(rel_img)
+                # shard the bias compose on its QUERY axis over the ring:
+                # each device materializes only its [H, S/P, S] slice
+                # instead of the full O(S²) bias per layer — the dominant
+                # HBM term in the long-context regime SP targets
+                # (ADVICE r3 #4); ring_attention's in_spec matches.
+                rel = jax.lax.with_sharding_constraint(
+                    rel,
+                    jax.sharding.NamedSharding(
+                        sp_mesh, jax.sharding.PartitionSpec(None, "seq", None)
+                    ),
+                )
                 fwd = lambda xx: _encoder_layer_sp(
                     layer_p, cfg, xx, pos_q, pos_k, rel, padding_mask, sp_mesh
                 )

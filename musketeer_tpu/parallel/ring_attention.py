@@ -98,6 +98,10 @@ def ring_attention(
     # mesh has it (each ring then serves its own batch shard); all ring logic
     # below is batch-parallel
     bax = "data" if ("data" in mesh.shape and mesh.shape["data"] > 1) else None
+    if bax is not None and B % mesh.shape["data"] != 0:
+        # ragged final eval batch: shard_map's P('data', ...) would be a
+        # shape error — replicate the batch over 'data' instead (ADVICE r3 #3)
+        bax = None
     seq4 = P(bax, None, axis_name, None)
 
     def local(q, k, v, pos_q, pos_k, rel, kpad):

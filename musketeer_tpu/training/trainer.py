@@ -143,6 +143,14 @@ def train_loop(
             if skip_steps
             else loader.epoch_iterator()
         )
+        # host/device overlap: build + device_put the next batch in a
+        # background thread while the current step runs (prefetch.py;
+        # ref: fairseq EpochBatchIterator num_workers, ofa_task.py:118-162)
+        prefetch = None
+        if getattr(cfg, "prefetch_depth", 0) > 0:
+            from .prefetch import PrefetchIterator
+
+            it = prefetch = PrefetchIterator(it, cfg.prefetch_depth)
         for batches in it:
             srng = jax.random.fold_in(rng, host_step)
             state, metrics = step_fn(state, batches, srng)
@@ -186,6 +194,8 @@ def train_loop(
                         "early stop at update %d (patience %d)",
                         num_updates, cfg.patience,
                     )
+                    if prefetch is not None:
+                        prefetch.close()
                     wait_for_saves()
                     return state
             if cfg.max_update and num_updates >= cfg.max_update:
@@ -195,6 +205,8 @@ def train_loop(
                 logger.info("stop_time_hours reached (%.2fh)", cfg.stop_time_hours)
                 broke_early = True
                 break
+        if prefetch is not None:  # idempotent; stops the producer on break
+            prefetch.close()
         skip_steps = 0
 
         if broke_early:
