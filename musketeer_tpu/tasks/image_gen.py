@@ -51,7 +51,9 @@ class ImageGenTask(Task):
         grid = self.code_image_size // 16  # 16x16 codes per 256² image (f=16)
         n_codes = grid * grid
         return GenerationConfig(
-            beam_size=5,
+            # sampling_times > 1 (SCST / best-of-K ranking) controls the
+            # number of sampled chains; plain eval keeps beam 5
+            beam_size=self.sampling_times if self.sampling_times > 1 else 5,
             max_len_b=n_codes,
             min_len=n_codes,
             gen_code=True,
