@@ -45,10 +45,11 @@ class CaptionTask(Task):
         gen_cfg = self.generation_config()
         v = self.vocab
 
+        # generate() accepts a LIST of param pytrees → ensemble decoding
+        # (ref: load_model_ensemble, utils/checkpoint_utils.py:405-495)
         @jax.jit
         def run(params, src, imgs, masks):
-            enc = ofa.encode(params, model_cfg, src, imgs, masks)
-            return beam_search(params, model_cfg, gen_cfg, enc, max_len=gen_cfg.max_len_b)
+            return generate(params, model_cfg, gen_cfg, src, imgs, masks)
 
         gts, res = {}, {}
         b = self.builder("valid")
@@ -112,10 +113,10 @@ class RefcocoTask(Task):
         gen_cfg = self.generation_config()
         v = self.vocab
 
+        # ensemble-capable (params may be a list; see CaptionTask.evaluate)
         @jax.jit
         def run(params, src, imgs, masks):
-            enc = ofa.encode(params, model_cfg, src, imgs, masks)
-            return beam_search(params, model_cfg, gen_cfg, enc, max_len=4)
+            return generate(params, model_cfg, gen_cfg, src, imgs, masks)
 
         accs = []
         for batch in iter_batches(
@@ -477,10 +478,10 @@ class GigawordTask(Task):
         gen_cfg = self.generation_config()
         v = self.vocab
 
+        # ensemble-capable (params may be a list; see CaptionTask.evaluate)
         @jax.jit
         def run(params, src):
-            enc = ofa.encode(params, model_cfg, src)
-            return beam_search(params, model_cfg, gen_cfg, enc, max_len=gen_cfg.max_len_b)
+            return generate(params, model_cfg, gen_cfg, src)
 
         scorer = rouge_scorer.RougeScorer(
             ["rouge1", "rouge2", "rougeL"], use_stemmer=True
