@@ -72,6 +72,13 @@ class DenseTrie:
         self.child_tokens = jnp.asarray(child_tokens)
         self.child_next = jnp.asarray(child_next)
         self.max_branch = bmax
+        # numpy copies for HOST-side walks (batch builders): per-example
+        # device dispatches from the input pipeline measured as the
+        # dominant host cost of constraint-mask construction
+        self._np_root_mask = root_mask
+        self._np_root_next = root_next
+        self._np_child_tokens = child_tokens
+        self._np_child_next = child_next
 
     @classmethod
     def from_answers(cls, vocab, answers: Sequence[str]) -> "DenseTrie":
@@ -100,6 +107,34 @@ class DenseTrie:
         eos_only = jnp.zeros((V,), bool).at[2].set(True)
         mask = jnp.where(nodes[:, None] == DEAD, eos_only[None, :], mask)
         return mask
+
+    # -- host-side ops (numpy; for batch builders, not jitted code) ----------
+
+    def allowed_mask_np(self, node: int) -> np.ndarray:
+        """Host equivalent of :meth:`allowed_mask` for one node."""
+        V = self.vocab_size
+        if node == DEAD:
+            m = np.zeros((V,), bool)
+            m[2] = True  # eos (fixed by the OFA dictionary)
+            return m
+        if node == ROOT:
+            return self._np_root_mask.copy()
+        row = self._np_child_tokens[node - 1]
+        m = np.zeros((V,), bool)
+        m[row[row < V]] = True
+        return m
+
+    def transition_np(self, node: int, token: int) -> int:
+        """Host equivalent of :meth:`transition` for one (node, token)."""
+        if node == DEAD:
+            return DEAD
+        if node == ROOT:
+            return int(self._np_root_next[token]) if token < self.vocab_size else DEAD
+        row = self._np_child_tokens[node - 1]
+        j = int(np.searchsorted(row, token))
+        if j < len(row) and row[j] == token:
+            return int(self._np_child_next[node - 1, j])
+        return DEAD
 
     def transition(self, nodes: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
         """(nodes [N], chosen tokens [N]) → next nodes [N]."""

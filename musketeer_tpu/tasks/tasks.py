@@ -173,14 +173,10 @@ class AllCandTask(Task):
         for c, e in enumerate(self._ans_enc):
             seq = list(e) + [v.eos]
             self._ans_target[c, : len(seq)] = seq
-            node = np.asarray([0], np.int32)
+            node = 0
             for i, t in enumerate(seq):
-                self._ans_nodes[c, i] = node[0]
-                node = np.asarray(
-                    self.trie.transition(
-                        jnp.asarray(node), jnp.asarray([t], jnp.int32)
-                    )
-                )
+                self._ans_nodes[c, i] = node
+                node = self.trie.transition_np(node, int(t))
     def make_score_fn(self, model_cfg):
         @functools.partial(jax.jit, static_argnames=())
         def encode_fn(params, src, imgs, masks):

@@ -248,16 +248,12 @@ def build_candidate_arrays(
         tgt[: Tp - 1] = vocab.pad  # supervise only the answer span
         target[c, : len(tgt)] = tgt[:T]
         if trie is not None:
-            import jax.numpy as _jnp
-
-            node = np.asarray([0], np.int32)
+            # host-side numpy trie walk (per-candidate device dispatches
+            # here dominated batch-build time; see DenseTrie.allowed_mask_np)
+            node = 0
             for i in range(Tp - 1, min(len(tgt), T)):
-                masks[c, i] = np.asarray(
-                    trie.allowed_mask(_jnp.asarray(node), vocab.padded_size)
-                )[0]
-                node = np.asarray(
-                    trie.transition(_jnp.asarray(node), _jnp.asarray([tgt[i]], _jnp.int32))
-                )
+                masks[c, i] = trie.allowed_mask_np(node)
+                node = trie.transition_np(node, int(tgt[i]))
     return prev, target, masks
 
 
