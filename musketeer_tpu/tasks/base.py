@@ -41,6 +41,7 @@ def batch_to_taskbatch(batch: Dict[str, Any], accum: bool = False) -> TaskBatch:
         conf=get("conf"),
         code_masks=get("code_masks"),
         sample_patch_order=get("sample_patch_order"),
+        patch_norm=get("patch_norm"),
     )
 
 

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..data.file_dataset import FileDataset
 from ..data.task_data import Example, collate
+from ..data.transforms import norm_constants
 from ..tokenization import OFAVocab
 from ..training.train_step import TaskBatch
 from .base import batch_to_taskbatch
@@ -60,11 +61,17 @@ class MusketeerDataLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         update_freq: int = 1,
+        compress_transport: bool = True,
     ):
         self.vocab = vocab
         self.specs = list(specs)
         self.seed = seed
         self.update_freq = update_freq
+        # ship images as uint8 (+[2,3] dequant affine) and constraint masks
+        # bit-packed: 4x/8x fewer host→device bytes, expanded in-step by
+        # train_step.dequantize_batch (measured: float32 transport capped
+        # joint overlap efficiency at 0.60 over the device link)
+        self.compress_transport = compress_transport
         self.tasks: Dict[str, Task] = {}
         self.builders = {}
         self.datasets: Dict[str, FileDataset] = {}
@@ -148,6 +155,8 @@ class MusketeerDataLoader:
                         exs, pad_id=self.vocab.pad,
                         src_len=spec.src_len, tgt_len=spec.tgt_len,
                     )
+                    if self.compress_transport:
+                        b = _compress_batch(b, self.builders[spec.name])
                     if spec.sample_patch_num and "patch_images" in b:
                         grid = b["patch_images"].shape[1] // 16
                         n = grid * grid
@@ -162,6 +171,23 @@ class MusketeerDataLoader:
                 )
                 for name, micro_list in step_batches.items()
             }
+
+
+def _compress_batch(b: Dict, builder) -> Dict:
+    """Shrink the host→device transfer (train_step.dequantize_batch is the
+    in-step inverse): normalized float32 images → raw uint8 + the [2, 3]
+    dequant affine (exact: the pixels started as uint8, values sit on the
+    1/255 grid); bool constraint masks → little-endian packed bits."""
+    imgs = b.get("patch_images")
+    if imgs is not None and imgs.dtype == np.float32:
+        norm = norm_constants(getattr(builder, "imagenet_stats", False))
+        p = np.clip(np.rint((imgs - norm[1]) / norm[0]), 0, 255)
+        b["patch_images"] = p.astype(np.uint8)
+        b["patch_norm"] = norm
+    cm = b.get("constraint_masks")
+    if cm is not None and cm.dtype == np.bool_ and cm.shape[-1] % 8 == 0:
+        b["constraint_masks"] = np.packbits(cm, axis=-1, bitorder="little")
+    return b
 
 
 def _stack_micro(batches: List[TaskBatch]) -> TaskBatch:

@@ -43,6 +43,38 @@ class TaskBatch(NamedTuple):
     # precomputed ResNet feature maps (vision-stem packing; set inside the
     # jitted step, never by the loader)
     resnet_feats: Optional[jnp.ndarray] = None  # [..., B, h, w, C]
+    # uint8 image transport: when patch_images is uint8, this [..., 2, 3]
+    # (scale row, bias row) affine dequantizes it in-step — raw bytes over
+    # the host→device link are 4x smaller than normalized float32 and carry
+    # the same information (PIL resize output is uint8)
+    patch_norm: Optional[jnp.ndarray] = None  # [..., 2, 3]
+
+
+def dequantize_batch(b: TaskBatch, dtype) -> TaskBatch:
+    """Expand the compressed-transport fields to compute form, in-step.
+
+    * uint8 ``patch_images`` + ``patch_norm`` → float ``p*scale + bias``
+      (== normalize(p/255) up to fp rounding; data/transforms.norm_constants)
+    * bit-packed ``constraint_masks`` (uint8, last dim V/8, little-endian
+      np.packbits) → bool [..., V] — 8x smaller over the link.
+    """
+    if b.patch_images is not None and b.patch_images.dtype == jnp.uint8:
+        assert b.patch_norm is not None, "uint8 patch_images need patch_norm"
+        # patch_images [*L, B, H, W, 3], patch_norm [*L, 2, 3]: broadcast
+        # the per-channel affine over B, H, W
+        norm = b.patch_norm.astype(jnp.float32)
+        sc = norm[..., 0, :].reshape(norm.shape[:-2] + (1, 1, 1, 3))
+        bi = norm[..., 1, :].reshape(norm.shape[:-2] + (1, 1, 1, 3))
+        img = (b.patch_images.astype(jnp.float32) * sc + bi).astype(dtype)
+        b = b._replace(patch_images=img, patch_norm=None)
+    cm = b.constraint_masks
+    if cm is not None and cm.dtype == jnp.uint8:
+        bits = (cm[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        b = b._replace(
+            constraint_masks=bits.reshape(cm.shape[:-1] + (cm.shape[-1] * 8,))
+            .astype(bool)
+        )
+    return b
 
 
 def task_loss(
@@ -55,6 +87,9 @@ def task_loss(
     train: bool = True,
 ):
     """One task's (loss_sum, nll_sum, ntokens)."""
+    # expand compressed-transport fields BEFORE the R-Drop dup (the dup
+    # concatenates along batch axis 0, which patch_norm [2, 3] lacks)
+    batch = dequantize_batch(batch, jnp.dtype(model_cfg.dtype))
     if crit_cfg.use_rdrop and train:
         dup = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
         batch = TaskBatch(*[dup(a) for a in batch])
@@ -292,6 +327,11 @@ def multitask_loss(
     both cases."""
     total = 0.0
     metrics: Dict[str, jnp.ndarray] = {}
+    # uint8 images / bit-packed constraint masks → compute form (must run
+    # before vision-stem packing, which concatenates images across tasks
+    # with possibly different normalization stats)
+    dt = jnp.dtype(model_cfg.dtype)
+    batches = {n: dequantize_batch(b, dt) for n, b in batches.items()}
     if pack_vision:
         batches = _pack_vision_stem(params, model_cfg, batches)
     ordered = sorted(batches.items())

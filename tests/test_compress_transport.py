@@ -1,0 +1,140 @@
+"""Compressed host→device batch transport: uint8 images + bit-packed
+constraint masks must produce identical losses to the float32/bool path
+(train_step.dequantize_batch is the in-step inverse of
+musketeer._compress_batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from musketeer_tpu.config import CriterionConfig
+from musketeer_tpu.data.transforms import norm_constants, normalize
+from musketeer_tpu.models import ofa
+from musketeer_tpu.training.train_step import (
+    TaskBatch, dequantize_batch, multitask_loss, task_loss,
+)
+from tests.test_model import tiny_cfg
+
+
+def _mk_batches(cfg, uint8=False, seed=0):
+    rng = np.random.RandomState(seed)
+    B, Ts, Tt, S = 2, 8, 5, 32
+    src = rng.randint(4, cfg.vocab_size - 1, (B, Ts)).astype(np.int32)
+    tgt = rng.randint(4, cfg.vocab_size - 1, (B, Tt)).astype(np.int32)
+    prev = np.roll(tgt, 1, -1)
+    prev[:, 0] = cfg.bos
+    pixels = rng.randint(0, 256, (B, S, S, 3)).astype(np.uint8)
+    cm = rng.rand(B, Tt, cfg.padded_vocab_size) < 0.05
+    cm[np.arange(B)[:, None], np.arange(Tt)[None], tgt] = True
+    if uint8:
+        imgs = jnp.asarray(pixels)
+        norm = jnp.asarray(norm_constants(False))
+        cms = jnp.asarray(np.packbits(cm, axis=-1, bitorder="little"))
+    else:
+        imgs = jnp.asarray(normalize(pixels.astype(np.float32) / 255.0, False))
+        norm = None
+        cms = jnp.asarray(cm)
+    return TaskBatch(
+        src_tokens=jnp.asarray(src),
+        prev_output_tokens=jnp.asarray(prev),
+        target=jnp.asarray(tgt),
+        patch_images=imgs,
+        patch_masks=jnp.ones((B,), bool),
+        constraint_masks=cms,
+        patch_norm=norm,
+    )
+
+
+def test_dequantize_roundtrip():
+    cfg = tiny_cfg()
+    a = _mk_batches(cfg, uint8=False)
+    b = dequantize_batch(_mk_batches(cfg, uint8=True), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(a.patch_images), np.asarray(b.patch_images),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.constraint_masks), np.asarray(b.constraint_masks)
+    )
+    assert b.patch_norm is None
+
+
+def test_task_loss_parity():
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    crit = CriterionConfig(label_smoothing=0.1)
+    up = jnp.int32(1)
+    la = task_loss(params, cfg, crit, _mk_batches(cfg, uint8=False), None, up)
+    lb = task_loss(params, cfg, crit, _mk_batches(cfg, uint8=True), None, up)
+    np.testing.assert_allclose(
+        float(la.loss), float(lb.loss), rtol=2e-5
+    )
+
+
+def test_multitask_vision_packing_parity():
+    """Two uint8 vision tasks with DIFFERENT normalization stats must
+    dequantize per-task before the shared-stem concat."""
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    crit = CriterionConfig(label_smoothing=0.1)
+    up = jnp.int32(1)
+
+    def pair(uint8):
+        a = _mk_batches(cfg, uint8=uint8, seed=0)
+        b = _mk_batches(cfg, uint8=uint8, seed=1)
+        if uint8:
+            b = b._replace(patch_norm=jnp.asarray(norm_constants(True)))
+        else:
+            # same raw pixels, imagenet stats
+            rng = np.random.RandomState(1)
+            rng.randint(4, cfg.vocab_size - 1, (2, 8))
+            rng.randint(4, cfg.vocab_size - 1, (2, 5))
+            pixels = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+            b = b._replace(patch_images=jnp.asarray(
+                normalize(pixels.astype(np.float32) / 255.0, True)
+            ))
+        return {"t1": a, "t2": b}
+
+    loss_f, _ = multitask_loss(params, cfg, crit, pair(False), None, up)
+    loss_q, _ = multitask_loss(params, cfg, crit, pair(True), None, up)
+    np.testing.assert_allclose(float(loss_f), float(loss_q), rtol=2e-5)
+
+
+def test_loader_compress_roundtrip(tmp_path):
+    """MusketeerDataLoader with compress_transport on/off: same step
+    tensors after in-step dequantization."""
+    from musketeer_tpu.tasks import MusketeerDataLoader, SubTaskSpec
+    from musketeer_tpu.tokenization import default_vocab
+    from tests.test_data import fake_image_b64
+
+    vocab = default_vocab()
+    p = tmp_path / "cap.tsv"
+    with open(p, "w") as f:
+        for i in range(4):
+            f.write(f"{i}\t{fake_image_b64(32, 32)}\ta small toy {i}\n")
+
+    def batches(compress):
+        loader = MusketeerDataLoader(
+            vocab,
+            [SubTaskSpec("caption", str(p), batch_size=2, src_len=16,
+                         tgt_len=16,
+                         task_kwargs={"patch_image_size": 32})],
+            description="base", compress_transport=compress,
+        )
+        loader.set_epoch(1)
+        return next(iter(loader.epoch_iterator()))["caption"]
+
+    raw = batches(False)
+    comp = batches(True)
+    assert comp.patch_images.dtype == jnp.uint8
+    assert comp.patch_norm is not None
+    deq = dequantize_batch(
+        jax.tree.map(lambda a: a[0], comp), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw.patch_images[0]), np.asarray(deq.patch_images),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(raw.src_tokens), np.asarray(comp.src_tokens)
+    )
