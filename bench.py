@@ -217,24 +217,44 @@ def bench_joint_wallclock(
     state = init_train_state(params, optim)
     step_fn = make_train_step(cfg, crit, optim, donate=False)
 
-    # host-only: batch-build cost without stepping
+    # host-only: batch-build cost without stepping. Skip the first two
+    # builds (builder/trie init + first-touch transfers pollute them).
     loader.set_epoch(1)
-    t0 = time.perf_counter()
     warm = []
-    for i, b in enumerate(loader.epoch_iterator()):
-        warm.append(b)
-        if i == 1:
-            break
-    host_ms = (time.perf_counter() - t0) / len(warm) * 1000.0
-
-    # compile + device-only step time on a prebuilt batch
-    out0 = step_fn(state, warm[0], jax.random.PRNGKey(0))[1]
-    out0["loss"].block_until_ready()
     t0 = time.perf_counter()
-    for i in range(3):
-        _, om = step_fn(state, warm[i % len(warm)], jax.random.PRNGKey(i))
-    np.asarray(om["loss"])
-    dev_s = (time.perf_counter() - t0) / 3
+    for i, b in enumerate(loader.epoch_iterator()):
+        if i == 2:
+            t0 = time.perf_counter()
+        warm.append(b)
+        if i == 3:
+            break
+    host_ms = (time.perf_counter() - t0) / 2 * 1000.0
+
+    # device-only step time on prebuilt batches. The first post-compile
+    # dispatch can absorb a one-time multi-hundred-second remote stall
+    # (block_until_ready on the warm-up loss returns before the backend
+    # finishes its one-time program work — measured 552 s once, then
+    # 0.33 s/step), so warm up with SYNCED steps until two consecutive
+    # times agree before timing.
+    prev = float("inf")
+    for i in range(6):
+        t0 = time.perf_counter()
+        _, om = step_fn(state, warm[i % len(warm)], jax.random.PRNGKey(50 + i))
+        np.asarray(om["loss"])
+        dt = time.perf_counter() - t0
+        if i >= 1 and abs(dt - prev) < 0.25 * max(dt, prev):
+            break
+        prev = dt
+    best = float("inf")
+    for r in range(2):
+        t0 = time.perf_counter()
+        for i in range(3):
+            _, om = step_fn(
+                state, warm[i % len(warm)], jax.random.PRNGKey(r * 7 + i)
+            )
+        np.asarray(om["loss"])
+        best = min(best, (time.perf_counter() - t0) / 3)
+    dev_s = best
 
     # wall-clock: loader → prefetch thread → step, end to end (blocking
     # only at the end, like the real train loop's log-interval sync)
