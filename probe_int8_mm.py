@@ -57,18 +57,29 @@ def main():
                 return jax.lax.fori_loop(0, 8, step, x0)
             return run
 
+        # Two traps to defeat (both measured): (1) a plain slice/sum
+        # reduction lets XLA rewrite slice-of-dot into dot-of-slice (all
+        # shapes "ran" in 0.3 ms); (2) a loop-invariant dot gets hoisted
+        # out of the fori_loop entirely (bf16 "370 TFLOP/s" on a 197T
+        # chip). So: perturb the activation with the loop index and
+        # reduce with sum(o*o), which has no factorization.
+        def sq(o):
+            of = o.astype(jnp.float32)
+            return jnp.sum(of * of) * 1e-9
+
         bf16 = loop(
-            lambda a, b, acc, i: acc + (a @ b)[:4].astype(jnp.float32).sum(),
+            lambda a, b, acc, i: acc
+            + sq((a + i.astype(a.dtype)) @ b),
             jnp.float32(0.0),
         )
         t_bf16 = timed(bf16, x, w) / 8
 
         i8 = loop(
             lambda a, b, acc, i: acc
-            + jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
+            + sq(jax.lax.dot_general(
+                a + i.astype(jnp.int8), b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )[:4].astype(jnp.float32).sum(),
+            )),
             jnp.float32(0.0),
         )
         t_i8 = timed(i8, xi, wi) / 8
@@ -76,6 +87,7 @@ def main():
         # W8A8 with the full serving epilogue: dynamic per-row absmax
         # quantize of the bf16 activations + dequant scales on the output
         def w8a8(a, b, acc, i):
+            a = a + i.astype(a.dtype) * 1e-6
             s = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=1, keepdims=True) / 127.0
             aq = jnp.clip(
                 jnp.round(a.astype(jnp.float32) / s), -127, 127
@@ -85,7 +97,7 @@ def main():
                 preferred_element_type=jnp.int32,
             )
             o = o.astype(jnp.float32) * s * wscale[None, :] / 127.0
-            return acc + o[:4].sum()
+            return acc + jnp.sum(o * o) * 1e-9
 
         t_w8a8 = timed(loop(w8a8, jnp.float32(0.0)), x, wi) / 8
 
