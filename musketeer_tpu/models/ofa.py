@@ -297,8 +297,11 @@ def _pos_proj(lin: Params, pos_embed: jnp.ndarray, cfg: ModelConfig, scale_q: bo
     (unify_transformer.py get_pos_info under fairseq --fp16)."""
     B, T, _ = pos_embed.shape
     H = cfg.attention_heads
-    x = pos_embed.astype(dtype) @ lin["w"].astype(dtype) + lin["b"].astype(dtype)
-    x = x.reshape(B, T, H, -1).transpose(0, 2, 1, 3)
+    # head split folded into the dot (see _linear_heads)
+    x = _linear_heads(
+        {"w": lin["w"].astype(dtype), "b": lin["b"].astype(dtype)},
+        pos_embed.astype(dtype), H,
+    )
     if scale_q:
         x = x * jnp.asarray(
             float(cfg.embed_dim / H * cfg.attn_scale_factor) ** -0.5, dtype
@@ -320,9 +323,10 @@ def _flash_self_attn(
 
     H = cfg.attention_heads
     scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
-    q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
-    k = _split_heads(_linear(p["k_proj"], x), H)
-    v = _split_heads(_linear(p["v_proj"], x), H)
+    # head-split folded into the projection dots (no transpose passes)
+    q = _linear_heads(p["q_proj"], x, H) * jnp.asarray(scaling, x.dtype)
+    k = _linear_heads(p["k_proj"], x, H)
+    v = _linear_heads(p["v_proj"], x, H)
     # 256-row q-tiles amortize the per-tile K/V/rel streams at long S
     # (encoder S≈980: bwd 3.7→3.2 ms/layer, probe_attn r3); short decoder
     # targets keep 128 to bound the pad waste, and Sp>1024 keeps 128 to fit
@@ -334,14 +338,9 @@ def _flash_self_attn(
         rel.astype(q.dtype), kpad, causal, bq, False, True,
         cfg.flash_skip_max_subtract,
     )
-    out = _merge_heads(out)
     if "c_attn" in p:
-        b, t, _ = out.shape
-        out = (
-            out.reshape(b, t, H, cfg.head_dim)
-            * p["c_attn"].astype(out.dtype)[None, None, :, None]
-        ).reshape(b, t, -1)
-    return _linear(p["out_proj"], out)
+        out = out * p["c_attn"].astype(out.dtype)[None, :, None, None]
+    return _out_proj_heads(p["out_proj"], out)
 
 
 def _flash_cross_attn(
@@ -352,9 +351,9 @@ def _flash_cross_attn(
 
     H = cfg.attention_heads
     scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
-    q = _split_heads(_linear(p["q_proj"], x) * scaling, H)
-    k = _split_heads(_linear(p["k_proj"], enc_x), H)
-    v = _split_heads(_linear(p["v_proj"], enc_x), H)
+    q = _linear_heads(p["q_proj"], x, H) * jnp.asarray(scaling, x.dtype)
+    k = _linear_heads(p["k_proj"], enc_x, H)
+    v = _linear_heads(p["v_proj"], enc_x, H)
     rel0 = jnp.zeros((H, q.shape[2], k.shape[2]), q.dtype)
     Sp_ = -(-k.shape[2] // 128) * 128
     bq = 256 if (q.shape[2] >= 256 and Sp_ <= 1024) else 128
@@ -363,14 +362,37 @@ def _flash_cross_attn(
         rel0, kpad, False, bq, False, False,
         cfg.flash_skip_max_subtract,
     )
-    out = _merge_heads(out)
     if "c_attn" in p:
-        b, t, _ = out.shape
-        out = (
-            out.reshape(b, t, H, cfg.head_dim)
-            * p["c_attn"].astype(out.dtype)[None, None, :, None]
-        ).reshape(b, t, -1)
-    return _linear(p["out_proj"], out)
+        out = out * p["c_attn"].astype(out.dtype)[None, :, None, None]
+    return _out_proj_heads(p["out_proj"], out)
+
+
+def _linear_heads(p: Params, x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """x @ W + b emitted DIRECTLY as [B, H, T, hd].
+
+    Equivalent to ``_split_heads(_linear(p, x), heads)`` but the head
+    split rides the dot's output instead of running as a standalone XLA
+    transpose pass — the split/merge transposes around the Pallas
+    kernels ranked 7.1 M cycles (~6 ms, ~40× off their bandwidth
+    roofline: minor-dim transposes shuffle the 64-lane axis across
+    sublanes) of the B8 train step in the compiled-HLO cycle ranking.
+    Mosaic cannot express head-last per-head blocks (block dim −2 must
+    be divisible by 8 or equal the array dim — lowering error on
+    [B, T, H, D] blocks), so folding into the dot is the viable route."""
+    b_, t, d = x.shape
+    w = p["w"].astype(x.dtype)
+    hd = w.shape[1] // heads
+    out = jnp.einsum("btd,dhe->bhte", x, w.reshape(d, heads, hd))
+    return out + p["b"].astype(x.dtype).reshape(heads, hd)[None, :, None, :]
+
+
+def _out_proj_heads(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, hd] attention output → out_proj, with the head merge
+    folded into the dot (see _linear_heads)."""
+    b_, h, t, hd = x.shape
+    w = p["w"].astype(x.dtype)
+    out = jnp.einsum("bhte,hed->btd", x, w.reshape(h, hd, w.shape[1]))
+    return out + p["b"].astype(x.dtype)
 
 
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
