@@ -33,4 +33,8 @@ def test_bench_joint_wallclock_tiny():
     assert out["joint7_wallclock_step_ms"] > 0
     assert out["joint7_device_step_ms"] > 0
     assert out["joint_wallclock_samples_per_sec"] > 0
-    assert 0 < out["joint_overlap_efficiency"] <= 1.5
+    # no ratio bound: on a contended 1-core CI host the device/wallclock
+    # timing ratio is arbitrary noise (flaked at 1.5x under a concurrent
+    # suite run); the ratio is a BENCH metric, the test only checks the
+    # stage runs end to end with a finite loss
+    assert out["joint_overlap_efficiency"] > 0
