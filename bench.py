@@ -303,7 +303,13 @@ def main():
     from musketeer_tpu.utils import flops as F
 
     t_start = time.time()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    # Generous default: every completed stage has ALREADY emitted a full
+    # valid JSON record, so an external kill mid-run loses nothing — the
+    # budget only avoids starting stages that won't fit. (A default-budget
+    # run under host contention measured the headline alone at 1302 s and
+    # correctly skipped the rest; warm-cache uncontended runs finish all
+    # stages well inside this.)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 
     res = {
         "metric": "caption_inference_samples_per_sec_per_chip",
