@@ -92,6 +92,11 @@ class BuilderBase:
         self.max_tgt_length = max_tgt_length
         self.patch_image_size = patch_image_size
         self.imagenet_stats = imagenet_stats
+        # False when the builder's output contains FLOAT-DOMAIN augmentation
+        # values off the uint8 pixel grid (e.g. normalized-space random
+        # erasing noise) — the loader's uint8 transport compression would
+        # clip them to the pixel gamut (musketeer._compress_batch checks)
+        self.uint8_safe = True
 
     def enc(self, text: str, length=None, use_bpe=True) -> np.ndarray:
         return self.vocab.encode_text(text, length=length, use_bpe=use_bpe)
@@ -313,6 +318,9 @@ class ImageClassifyBuilder(BuilderBase):
         from .augment import OFA_RANDAUG_OPS, RandAugment
 
         self._randaug = RandAugment(2, 7, ops=OFA_RANDAUG_OPS)
+        # the train pipeline ends in normalized-space random erasing —
+        # gaussian noise off the uint8 grid; uint8 transport would clip it
+        self.uint8_safe = self.split != "train"
 
     def _train_patch(self, image) -> np.ndarray:
         from .augment import color_jitter, random_erasing, random_resized_crop

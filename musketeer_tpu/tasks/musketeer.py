@@ -179,7 +179,10 @@ def _compress_batch(b: Dict, builder) -> Dict:
     dequant affine (exact: the pixels started as uint8, values sit on the
     1/255 grid); bool constraint masks → little-endian packed bits."""
     imgs = b.get("patch_images")
-    if imgs is not None and imgs.dtype == np.float32:
+    if (
+        imgs is not None and imgs.dtype == np.float32
+        and getattr(builder, "uint8_safe", True)
+    ):
         norm = norm_constants(getattr(builder, "imagenet_stats", False))
         p = np.clip(np.rint((imgs - norm[1]) / norm[0]), 0, 255)
         b["patch_images"] = p.astype(np.uint8)

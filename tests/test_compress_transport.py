@@ -138,3 +138,52 @@ def test_loader_compress_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(raw.src_tokens), np.asarray(comp.src_tokens)
     )
+
+
+def test_loader_compress_float_domain_aug(tmp_path):
+    """image_classify's TRAIN pipeline ends in float-domain random erasing
+    (gaussian noise in normalized space, OFF the uint8 pixel gamut — the
+    inverse affine would CLIP it, measured |err| up to 2.0). The builder
+    marks itself uint8_safe=False, so the loader must ship its images as
+    float32 untouched while still bit-packing the constraint masks."""
+    import numpy as np
+
+    from musketeer_tpu.tasks import MusketeerDataLoader, SubTaskSpec
+    from musketeer_tpu.tokenization import default_vocab
+    from musketeer_tpu.training.train_step import dequantize_batch
+    from tests.test_data import fake_image_b64
+
+    vocab = default_vocab()
+    p = tmp_path / "cls.tsv"
+    with open(p, "w") as f:
+        for i in range(4):
+            f.write(f"{i}\t{fake_image_b64(64, 64)}\tabacus\n")
+
+    def batches(compress):
+        loader = MusketeerDataLoader(
+            vocab,
+            [SubTaskSpec("image_classify", str(p), batch_size=2, src_len=16,
+                         tgt_len=8,
+                         task_kwargs={"patch_image_size": 32,
+                                      "answers": ["abacus", "zebra"]})],
+            description="base", compress_transport=compress, seed=3,
+        )
+        loader.set_epoch(1)
+        return next(iter(loader.epoch_iterator()))["image_classify"]
+
+    comp = batches(True)
+    # images stay float32 + no dequant affine (uint8_safe=False on the
+    # train builder; RandAugment draws from the global random stream, so
+    # cross-instantiation equality can't be asserted — dtype is the
+    # contract)
+    assert comp.patch_images.dtype == jnp.float32
+    assert comp.patch_norm is None
+    # constraint masks still ride bit-packed; unpack restores bool of the
+    # padded-vocab width with the target ids allowed
+    assert comp.constraint_masks.dtype == jnp.uint8
+    deq = dequantize_batch(jax.tree.map(lambda a: a[0], comp), jnp.float32)
+    cm = np.asarray(deq.constraint_masks)
+    tgt = np.asarray(comp.target[0])
+    assert cm.shape[-1] == vocab.padded_size
+    sup = tgt != vocab.pad
+    assert bool(cm[np.arange(2)[:, None], np.arange(tgt.shape[1])[None], tgt][sup].all())
