@@ -318,9 +318,9 @@ class ImageClassifyBuilder(BuilderBase):
         from .augment import OFA_RANDAUG_OPS, RandAugment
 
         self._randaug = RandAugment(2, 7, ops=OFA_RANDAUG_OPS)
-        # the train pipeline ends in normalized-space random erasing —
-        # gaussian noise off the uint8 grid; uint8 transport would clip it
-        self.uint8_safe = self.split != "train"
+        # uint8_safe stays True: _train_patch clamps the erasing noise to
+        # the pixel gamut, so the uint8 transport represents the patch to
+        # half a pixel step (quantized noise is still noise)
 
     def _train_patch(self, image) -> np.ndarray:
         from .augment import color_jitter, random_erasing, random_resized_crop
@@ -338,7 +338,16 @@ class ImageClassifyBuilder(BuilderBase):
         arr = normalize(
             np.asarray(img, np.float32) / 255.0, self.imagenet_stats
         )
-        return random_erasing(arr, 0.25, rng=rng)
+        arr = random_erasing(arr, 0.25, rng=rng)
+        # clamp the erasing noise to the pixel gamut: timm's 'pixel' mode
+        # draws gaussians in normalized space whose tails sit outside any
+        # representable pixel — clamping keeps the erase function intact
+        # and lets the uint8 transport compression represent the patch
+        # exactly to half a pixel step (intentional tiny deviation from
+        # timm, noted here; ref image_classify_dataset.py:68-90)
+        lo = normalize(np.zeros((3,), np.float32), self.imagenet_stats)
+        hi = normalize(np.ones((3,), np.float32), self.imagenet_stats)
+        return np.clip(arr, lo, hi)
 
     def __call__(self, row: Sequence[str]) -> Example:
         uniq_id, image_b64, label = row[0], row[1], row[2]

@@ -172,16 +172,22 @@ def test_loader_compress_float_domain_aug(tmp_path):
         return next(iter(loader.epoch_iterator()))["image_classify"]
 
     comp = batches(True)
-    # images stay float32 + no dequant affine (uint8_safe=False on the
-    # train builder; RandAugment draws from the global random stream, so
-    # cross-instantiation equality can't be asserted — dtype is the
-    # contract)
-    assert comp.patch_images.dtype == jnp.float32
-    assert comp.patch_norm is None
-    # constraint masks still ride bit-packed; unpack restores bool of the
+    # the train builder clamps erasing noise to the pixel gamut, so its
+    # images DO compress (RandAugment draws from the global random stream,
+    # so cross-instantiation equality can't be asserted — the contract is
+    # the dtype + the gamut bound)
+    assert comp.patch_images.dtype == jnp.uint8
+    assert comp.patch_norm is not None
+    deq = dequantize_batch(jax.tree.map(lambda a: a[0], comp), jnp.float32)
+    from musketeer_tpu.data.transforms import normalize
+
+    lo = normalize(np.zeros((3,), np.float32)) - 1e-4
+    hi = normalize(np.ones((3,), np.float32)) + 1e-4
+    img = np.asarray(deq.patch_images)
+    assert (img >= lo).all() and (img <= hi).all()
+    # constraint masks ride bit-packed; unpack restores bool of the
     # padded-vocab width with the target ids allowed
     assert comp.constraint_masks.dtype == jnp.uint8
-    deq = dequantize_batch(jax.tree.map(lambda a: a[0], comp), jnp.float32)
     cm = np.asarray(deq.constraint_masks)
     tgt = np.asarray(comp.target[0])
     assert cm.shape[-1] == vocab.padded_size
