@@ -115,7 +115,12 @@ def project_with_stats(
     Vp = w.shape[0]
     assert Vp % BLK == 0, f"padded vocab {Vp} not a multiple of {BLK}"
     vs = vocab_size if vocab_size is not None else Vp
-    tile_v = _pick_tile(Vp)
+    # scoped-VMEM-aware vocab tile: the double-buffered weight block is
+    # [tile_v, D] — tile 4096 fits at D=768 (ofa_base, the tuned config)
+    # but OOMs the 16 MB scoped VMEM at D=1024 (ofa_large: 16.71 MB
+    # compile error). 59520 = 128·3·5·31, so the next tile down that
+    # divides Vp is 1920 (=128·15) — comfortable for d=1024/1280.
+    tile_v = _pick_tile(Vp, cap=4096 if D <= 768 else 1920)
     ntiles = Vp // tile_v
     tpb = tile_v // BLK  # blocks per tile
 

@@ -739,3 +739,22 @@ def test_int8_kv_kernel_matches_xla_path(tiny):
     l2b, _ = ofa.decode_step(params, cfg_x, nxt, jnp.int32(1), st2)
     assert np.abs(np.asarray(l1b, np.float32)
                   - np.asarray(l2b, np.float32)).max() < 2e-3 * scale
+
+
+def test_project_with_stats_wide_embed_tile():
+    """D > 768 drops the vocab tile from 4096 to 1920 so the weight block
+    fits the 16MB scoped VMEM (ofa_large d=1024 hit a compile-time OOM);
+    the multi-tile path must stay exact."""
+    from scipy.special import logsumexp as sp_lse
+
+    from musketeer_tpu.ops.topk_projection import project_with_stats
+
+    rng = np.random.RandomState(1)
+    N, D, Vp, V = 8, 1024, 3840, 3700  # 3840 = 1920*2 -> two tiles at cap 1920
+    h = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.05)
+    w = jnp.asarray(rng.randn(Vp, D).astype(np.float32) * 0.05)
+    logits, bmax, Z = project_with_stats(h, w, vocab_size=V)
+    ref = np.array(h @ w.T, np.float32)
+    ref[:, V:] = -1e9
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Z), sp_lse(ref, axis=1), rtol=1e-5)
