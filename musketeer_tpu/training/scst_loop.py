@@ -158,6 +158,24 @@ def run_scst_cli(args):
     """cli train --criterion {scst,clip_scst} entry (parses CLI args)."""
     import jax
 
+    # single-program loop: sample → host reward → PG step. Mesh/pipeline/
+    # accumulation flags belong to the fused label-smoothed step and are
+    # not wired here — fail loudly rather than silently ignore them.
+    ignored = [
+        name for name, dflt in (
+            ("fsdp", 1), ("model_parallel", 1), ("pipeline", 1),
+            ("seq_parallel", 1), ("microbatches", 0), ("update_freq", 1),
+            ("ema_decay", 0.0),
+        )
+        if getattr(args, name, dflt) != dflt
+    ]
+    if ignored:
+        logger.warning(
+            "--criterion %s ignores %s (reward fine-tuning runs the plain "
+            "data-parallel loop; ref fine-tunes SCST the same way)",
+            args.criterion, ", ".join(f"--{n.replace('_', '-')}" for n in ignored),
+        )
+
     from ..config import ARCH_PRESETS
     from ..models import ofa
     from ..tokenization import default_vocab
