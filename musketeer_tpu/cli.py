@@ -80,6 +80,11 @@ def cmd_train(args):
         optim=OptimConfig(
             lr=args.lr, warmup_updates=args.warmup_updates,
             total_updates=args.total_updates, clip_norm=args.clip_norm,
+            # embeddings are shared (share_all_embeddings), so either flag
+            # freezes the one tensor (ref: unify_transformer.py:380-384)
+            freeze_params=("embed_tokens",)
+            if (args.freeze_encoder_embedding or args.freeze_decoder_embedding)
+            else (),
         ),
         stop_time_hours=args.stop_time_hours,
         prefetch_depth=args.prefetch_depth,
@@ -442,6 +447,12 @@ def main(argv=None):
     pt.add_argument("--gumbel", action="store_true",
                     help="--vqgan-pt is a GumbelVQ checkpoint")
     pt.add_argument("--use-rdrop", action="store_true")
+    pt.add_argument("--freeze-encoder-embedding", action="store_true",
+                    help="freeze the (shared) token embedding "
+                         "(ref: unify_transformer.py:380-384)")
+    pt.add_argument("--freeze-decoder-embedding", action="store_true",
+                    help="freeze the (shared) token embedding / tied output "
+                         "projection (ref: unify_transformer.py:383-384)")
     pt.add_argument("--stop-time-hours", type=float, default=0.0)
     pt.add_argument("--prefetch-depth", type=int, default=2,
                     help="background batch-prefetch queue depth (0 = off)")

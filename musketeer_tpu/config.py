@@ -245,6 +245,13 @@ class OptimConfig:
     weight_decay: float = 0.01  # decoupled (adamw), matching fairseq adam
     clip_norm: float = 0.1  # ref: train_musketeer.sh:136
     power: float = 1.0  # polynomial decay power
+    # dotted param-path prefixes excluded from training (grads zeroed before
+    # the clip norm, updates zeroed after weight decay). The shared token
+    # embedding is "embed_tokens" — --freeze-{encoder,decoder}-embedding both
+    # map here because OFA shares all embeddings (ref:
+    # unify_transformer.py:364-384: share_all_embeddings=True in every arch,
+    # so requires_grad=False on either handle freezes the one tensor).
+    freeze_params: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -235,6 +235,9 @@ def run_scst_cli(args):
         optim=OptimConfig(
             lr=args.lr, warmup_updates=args.warmup_updates,
             total_updates=args.total_updates, clip_norm=args.clip_norm,
+            freeze_params=("embed_tokens",)
+            if (args.freeze_encoder_embedding or args.freeze_decoder_embedding)
+            else (),
         ),
         batch_size=args.batch_size,
         sample_beams=args.scst_sample_beams,

@@ -25,9 +25,36 @@ class TrainState(NamedTuple):
     ema_params: Optional[Any]  # fp32 EMA shadow (ref: trainer EMA step)
 
 
+def _freeze_mask_fn(prefixes):
+    """params -> bool pytree, True at leaves whose dotted path starts with
+    any of `prefixes`. Used for frozen subtrees (ref requires_grad=False:
+    unify_transformer.py:380-384 freeze_{encoder,decoder}_embedding)."""
+
+    def mask(params):
+        def leaf_mask(path, _):
+            dotted = ".".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            return any(
+                dotted == p or dotted.startswith(p + ".") for p in prefixes
+            )
+
+        return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+    return mask
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     schedule = polynomial_decay_schedule(cfg)
     chain = []
+    if cfg.freeze_params:
+        # zero frozen-subtree grads BEFORE the global-norm clip so frozen
+        # params neither move nor contribute to the clip norm — the exact
+        # effect of requires_grad=False in the reference (the param never
+        # appears in the optimizer's param group)
+        chain.append(
+            optax.masked(optax.set_to_zero(), _freeze_mask_fn(cfg.freeze_params))
+        )
     if cfg.clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.clip_norm))
     chain.append(
@@ -39,6 +66,12 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
             weight_decay=cfg.weight_decay,
         )
     )
+    if cfg.freeze_params:
+        # ...and zero the final update too: adamw's decoupled weight decay
+        # adds -lr*wd*p even where the grad (hence m,v) is zero
+        chain.append(
+            optax.masked(optax.set_to_zero(), _freeze_mask_fn(cfg.freeze_params))
+        )
     return optax.chain(*chain)
 
 

@@ -409,3 +409,33 @@ def test_metrics_logger_derived():
     # derived fns that raise are skipped, not fatal
     m.log_derived("bad", lambda avgs: avgs["missing_key"])
     assert "bad" not in m.averages()
+
+
+def test_freeze_embedding_masks_updates():
+    """--freeze-{encoder,decoder}-embedding parity (ref:
+    unify_transformer.py:380-384, requires_grad=False on the shared
+    embedding): frozen leaves must not move — not from grads, and not from
+    adamw's decoupled weight decay — while everything else trains."""
+    cfg = tiny_cfg()
+    params = ofa.init_ofa_params(jax.random.PRNGKey(0), cfg)
+    crit = CriterionConfig(label_smoothing=0.1)
+    optim = OptimConfig(
+        lr=2e-3, warmup_updates=1, total_updates=50, clip_norm=1.0,
+        weight_decay=0.01, freeze_params=("embed_tokens",),
+    )
+    state = init_train_state(params, optim)
+    step_fn = make_train_step(cfg, crit, optim, donate=False)
+    batch = {"caption": text_batch(cfg, accum=1)}
+    embed0 = np.asarray(state.params["embed_tokens"])
+    for i in range(3):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_array_equal(np.asarray(state.params["embed_tokens"]), embed0)
+    # a non-frozen leaf did move
+    moved = float(
+        jnp.abs(
+            state.params["encoder"]["layers"]["self_attn"]["q_proj"]["w"]
+            - params["encoder"]["layers"]["self_attn"]["q_proj"]["w"]
+        ).max()
+    )
+    assert moved > 0
