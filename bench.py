@@ -257,19 +257,33 @@ def bench_joint_wallclock(
     dev_s = best
 
     # wall-clock: loader → prefetch thread → step, end to end (blocking
-    # only at the end, like the real train loop's log-interval sync)
+    # only at the end, like the real train loop's log-interval sync).
+    # The first 2 steps are untimed warm-up (queue fill + first-touch
+    # allocator effects) — the real train loop runs thousands of steps,
+    # so steady state is the honest regime; the prefetcher's stat
+    # counters are reset at the timing boundary so the emitted
+    # decomposition (VERDICT r4 #2) covers exactly the timed window.
+    warmup = 2
     n_steps = 0
     loader.set_epoch(2)
     it = PrefetchIterator(loader.epoch_iterator(), depth=2)
     t0 = time.perf_counter()
     om = None
     for b in it:
+        if n_steps == warmup:
+            np.asarray(om["loss"])  # drain the device pipe, then restart clock
+            it.reset_stats()
+            t0 = time.perf_counter()
         _, om = step_fn(state, b, jax.random.PRNGKey(n_steps))
         n_steps += 1
-        if n_steps >= steps:
+        if n_steps >= steps + warmup:
             break
     loss = float(np.asarray(om["loss"]))
-    wall_s = (time.perf_counter() - t0) / n_steps
+    timed_steps = max(1, n_steps - warmup)
+    wall_s = (time.perf_counter() - t0) / timed_steps
+    stall_ms = it.stall_s / timed_steps * 1000.0
+    prod_cpu_ms = it.producer_cpu_s / max(1, it.producer_items) * 1000.0
+    prod_wall_ms = it.producer_wall_s / max(1, it.producer_items) * 1000.0
     it.close()
     assert np.isfinite(loss), f"non-finite wallclock joint loss: {loss}"
 
@@ -280,6 +294,15 @@ def bench_joint_wallclock(
         "joint_wallclock_samples_per_sec": round(n_samples / wall_s, 1),
         "joint7_host_batch_build_ms": round(host_ms, 1),
         "joint_overlap_efficiency": round(dev_s / wall_s, 2),
+        # decomposition of the wall-vs-device gap (VERDICT r4 #2):
+        # host_stall = consumer blocked on an empty batch queue;
+        # producer_cpu = CPU the builder thread burned per batch
+        # (thread_time — GIL waits and tunnel I/O excluded);
+        # producer_wall = the builder thread's wall time per batch.
+        "joint7_host_stall_ms": round(stall_ms, 1),
+        "joint7_producer_cpu_ms": round(prod_cpu_ms, 1),
+        "joint7_producer_wall_ms": round(prod_wall_ms, 1),
+        "joint7_timed_steps": timed_steps,
     }
 
 
@@ -309,7 +332,7 @@ def main():
     # run under host contention measured the headline alone at 1302 s and
     # correctly skipped the rest; warm-cache uncontended runs finish all
     # stages well inside this.)
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
 
     res = {
         "metric": "caption_inference_samples_per_sec_per_chip",
@@ -547,6 +570,161 @@ def main():
         ),
     )
 
+    # ---- ofa_large: the reference's FLAGSHIP config (VERDICT r4 #1 —
+    # run_scripts/musketeer/train_musketeer_large.sh; models/ofa/ofa.py:
+    # 370-439). Driver-recorded so a large-model compile break (the r3→r4
+    # topk_projection VMEM OOM at d=1024) can never again hide for a round.
+    from musketeer_tpu.config import ARCH_PRESETS
+
+    large_hold = {}
+
+    def stage_large_infer():
+        cfg_l = replace(
+            ARCH_PRESETS["ofa_large"](), dtype="bfloat16",
+            use_flash_attention=True,
+        )
+        params_l = ofa.init_ofa_params(jax.random.PRNGKey(1), cfg_l)
+
+        @jax.jit
+        def run_l(params, src, imgs, masks, i):
+            enc = ofa.encode(params, cfg_l, src, imgs + i, masks)
+            toks, scores = beam_search(params, cfg_l, gen_cfg, enc, max_len=16)
+            return toks.sum(axis=(1, 2)), scores.mean(axis=1)
+
+        l_s = timed(run_l, params_l, src, imgs, masks)
+        res["ofa_large_samples_per_sec"] = round(B / l_s, 1)
+        res["ofa_large_batch_latency_ms"] = round(l_s * 1000.0, 1)
+        res["mfu_inference_large"] = round(
+            F.caption_inference_flops(
+                cfg_l, B, len(prompt), 480, gen_cfg.beam_size, n_decode_steps
+            ) / l_s / V5E_BF16_PEAK_FLOPS, 4,
+        )
+        large_hold["cfg"] = cfg_l
+        large_hold["params"] = params_l
+
+    run_stage("ofa_large_infer", stage_large_infer)
+
+    def stage_large_train():
+        if "params" not in large_hold:
+            return
+        cfg_l, params_l = large_hold["cfg"], large_hold["params"]
+        Bt, Tt = 2, 20  # per-chip microbatch slice of the ref large config
+        rng_t = np.random.RandomState(4)
+        prev = jnp.asarray(
+            np.concatenate(
+                [np.full((Bt, 1), 0), rng_t.randint(4, 50000, (Bt, Tt - 1))],
+                axis=1,
+            ),
+            jnp.int32,
+        )
+        tgt = jnp.asarray(rng_t.randint(4, 50000, (Bt, Tt)), jnp.int32)
+
+        def make_step(remat):
+            cfg_t = replace(cfg_l, unroll_layers=True, remat=remat)
+
+            @jax.jit
+            def train_l(params, src, imgs, masks, i):
+                def loss_fn(p):
+                    logits = ofa.forward(p, cfg_t, src, prev, imgs + i, masks)
+                    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                    return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                gnorm = jax.tree.reduce(
+                    lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
+                    grads,
+                    jnp.float32(0.0),
+                )
+                return loss, gnorm
+
+            return train_l
+
+        try:
+            tr_s = timed(
+                make_step(False), params_l, src[:Bt], imgs[:Bt], masks[:Bt],
+                iters=3,
+            )
+            res["ofa_large_train_remat"] = False
+        except Exception:  # HBM OOM at d=1024 → honest remat fallback
+            tr_s = timed(
+                make_step(True), params_l, src[:Bt], imgs[:Bt], masks[:Bt],
+                iters=3,
+            )
+            res["ofa_large_train_remat"] = True
+        res["ofa_large_train_step_ms"] = round(tr_s * 1000.0, 1)
+        res["ofa_large_train_samples_per_sec"] = round(Bt / tr_s, 1)
+        res["mfu_train_large"] = round(
+            F.TRAIN_FWD_BWD_MULT
+            * F.seq2seq_fwd_flops(cfg_l, Bt, src.shape[1], Tt, img_size=480)
+            / tr_s / V5E_BF16_PEAK_FLOPS, 4,
+        )
+        large_hold.clear()  # free ~5 GB before the remaining stages
+
+    run_stage("ofa_large_train", stage_large_train)
+
+    # ---- SCST on-chip throughput (VERDICT r4 #5): sample-beam → host
+    # CIDEr-D → policy-gradient update, the generate-inside-train path
+    # (ref: criterions/scst_loss.py:80-223; BASELINE configs[4]).
+    def stage_scst():
+        import base64
+        import io
+
+        from PIL import Image, ImageDraw
+
+        from musketeer_tpu.criterions.scst import make_scst_fns, scst_train_step
+        from musketeer_tpu.data.task_data import CaptionBuilder, collate
+        from musketeer_tpu.tokenization import default_vocab as _dv
+        from musketeer_tpu.training import init_train_state as _init
+        from musketeer_tpu.training.train_state import make_optimizer
+
+        v2 = _dv()
+        Bs = 8
+        img = Image.new("RGB", (640, 480), (60, 90, 130))
+        dr = ImageDraw.Draw(img)
+        for k in range(10):
+            dr.ellipse([30 + 40 * k, 40 + 15 * k, 110 + 40 * k, 160 + 15 * k],
+                       fill=(210 - 12 * k, 40 + 14 * k, 80))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=85)
+        b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+        builder = CaptionBuilder(
+            v2, description="tep", split="train", scst=True,
+            patch_image_size=480,
+        )
+        rows = [
+            [str(i), b64,
+             "a group of colored ovals on a blue background&&several "
+             "ellipses drawn over a plain backdrop"]
+            for i in range(Bs)
+        ]
+        batch = collate([builder(r) for r in rows], pad_id=v2.pad)
+        optim_s = OptimConfig(lr=1e-5, warmup_updates=10, total_updates=1000)
+        tx = make_optimizer(optim_s)
+        gen_s = GenerationConfig(
+            beam_size=5, max_len_b=16, min_len=1, sampling=True,
+        )
+        sample_fn, grad_fn = make_scst_fns(cfg, gen_s, tx)
+        st = _init(params, optim_s)
+        # warm-up update compiles the sampling + PG programs
+        st, m0 = scst_train_step(
+            st, v2, sample_fn, grad_fn, batch, jax.random.PRNGKey(0),
+            max_len=16,
+        )
+        best = float("inf")
+        for r in range(2):
+            t0 = time.perf_counter()
+            for i in range(3):
+                st, m = scst_train_step(
+                    st, v2, sample_fn, grad_fn, batch,
+                    jax.random.PRNGKey(1 + r * 11 + i), max_len=16,
+                )
+            best = min(best, (time.perf_counter() - t0) / 3)
+        res["scst_step_ms"] = round(best * 1000.0, 1)
+        res["scst_samples_per_sec"] = round(Bs / best, 1)
+        res["scst_mean_reward"] = round(float(m["mean_reward"]), 4)
+
+    run_stage("scst", stage_scst)
+
     # ---- larger-batch / robustness / serving variants
     def stage_b32():
         B2 = 32
@@ -669,6 +847,26 @@ def main():
         res["glue7_pack_speedup"] = round(seq_s / pack_s, 2)
 
     run_stage("glue7_ablation", stage_glue7)
+
+    # ---- ofa_huge inference (largest preset; last — biggest memory+compile)
+    def stage_huge_infer():
+        joint_state.clear()  # free the base opt state first
+        cfg_h = replace(
+            ARCH_PRESETS["ofa_huge"](), dtype="bfloat16",
+            use_flash_attention=True,
+        )
+        params_h = ofa.init_ofa_params(jax.random.PRNGKey(2), cfg_h)
+
+        @jax.jit
+        def run_h(params, src, imgs, masks, i):
+            enc = ofa.encode(params, cfg_h, src, imgs + i, masks)
+            toks, scores = beam_search(params, cfg_h, gen_cfg, enc, max_len=16)
+            return toks.sum(axis=(1, 2)), scores.mean(axis=1)
+
+        h_s = timed(run_h, params_h, src, imgs, masks)
+        res["ofa_huge_samples_per_sec"] = round(B / h_s, 1)
+
+    run_stage("ofa_huge_infer", stage_huge_infer)
 
     emit()
 

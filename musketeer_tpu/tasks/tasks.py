@@ -20,7 +20,7 @@ from ..models import ofa
 from ..utils.cider import CiderD
 from ..utils.summary_detok import normalize_summary_hyp
 from ..utils.eval_utils import (
-    box_iou_accuracy, debin_boxes, score_candidates_span,
+    box_iou, box_iou_accuracy, debin_boxes, score_candidates_span,
 )
 from .base import Task, iter_batches
 
@@ -119,6 +119,7 @@ class RefcocoTask(Task):
             return generate(params, model_cfg, gen_cfg, src, imgs, masks)
 
         accs = []
+        ious = []
         for batch in iter_batches(
             dataset, self.builder("valid"), batch_size, v.pad, limit=limit, drop_last=True
         ):
@@ -136,8 +137,14 @@ class RefcocoTask(Task):
             )
             refs = np.stack([e["region_coord"] for e in batch["extras"]])
             accs.append(box_iou_accuracy(boxes, refs))
+            ious.append(box_iou(boxes, refs))
         acc = float(np.concatenate(accs).mean()) if accs else 0.0
-        return {"acc@0.5": acc, "n": int(sum(len(a) for a in accs))}
+        miou = float(np.concatenate(ious).mean()) if ious else 0.0
+        return {
+            "acc@0.5": acc,
+            "mean_iou": miou,  # finer-grained convergence signal than acc@0.5
+            "n": int(sum(len(a) for a in accs)),
+        }
 
 
 class AllCandTask(Task):

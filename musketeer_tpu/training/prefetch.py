@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
@@ -43,6 +44,18 @@ class PrefetchIterator(Iterator[T]):
     def __init__(self, iterable: Iterable[T], depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
+        # overlap diagnostics (VERDICT r4 #2): where does wall-clock go?
+        # producer_cpu_s = CPU time the producer thread actually burned per
+        # item (thread_time: excludes GIL waits + tunnel I/O blocks);
+        # producer_wall_s = its wall time per item; stall_s = time the
+        # consumer spent blocked on an empty queue. All resettable so a
+        # bench can discard warm-up effects.
+        self.producer_cpu_s = 0.0
+        self.producer_wall_s = 0.0
+        self.producer_items = 0
+        self.stall_s = 0.0
+        self.stall_count = 0
+        self.consumed = 0
         self._thread = threading.Thread(
             target=self._produce, args=(iter(iterable),), daemon=True
         )
@@ -59,7 +72,16 @@ class PrefetchIterator(Iterator[T]):
 
     def _produce(self, it: Iterator[T]) -> None:
         try:
-            for item in it:
+            while True:
+                w0 = time.perf_counter()
+                c0 = time.thread_time()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    break
+                self.producer_cpu_s += time.thread_time() - c0
+                self.producer_wall_s += time.perf_counter() - w0
+                self.producer_items += 1
                 if not self._put(item):
                     return
         except BaseException as e:  # propagate to the consumer
@@ -70,10 +92,20 @@ class PrefetchIterator(Iterator[T]):
     def __iter__(self) -> "PrefetchIterator[T]":
         return self
 
+    def reset_stats(self) -> None:
+        self.producer_cpu_s = self.producer_wall_s = self.stall_s = 0.0
+        self.producer_items = self.stall_count = self.consumed = 0
+
     def __next__(self) -> T:
         if self._stop.is_set():
             raise StopIteration
+        t0 = time.perf_counter()
         item = self._q.get()
+        dt = time.perf_counter() - t0
+        self.stall_s += dt
+        if dt > 1e-3:
+            self.stall_count += 1
+        self.consumed += 1
         if item is _SENTINEL:
             self._stop.set()
             raise StopIteration

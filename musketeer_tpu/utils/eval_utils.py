@@ -38,16 +38,20 @@ def debin_boxes(
     return coords
 
 
-def box_iou_accuracy(hyps: np.ndarray, refs: np.ndarray, thresh: float = 0.5) -> np.ndarray:
-    """Acc@thresh per box pair (ref: _calculate_ap_score)."""
+def box_iou(hyps: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """Per-pair IoU between xyxy boxes; 0 where there is no overlap."""
     lt = np.maximum(hyps[:, :2], refs[:, :2])
     rb = np.minimum(hyps[:, 2:], refs[:, 2:])
-    wh = rb - lt
+    wh = np.clip(rb - lt, 0.0, None)
     inter = wh[:, 0] * wh[:, 1]
     a1 = (hyps[:, 2] - hyps[:, 0]) * (hyps[:, 3] - hyps[:, 1])
     a2 = (refs[:, 2] - refs[:, 0]) * (refs[:, 3] - refs[:, 1])
-    iou = inter / (a1 + a2 - inter + 1e-6)
-    return ((iou >= thresh) & (wh[:, 0] > 0) & (wh[:, 1] > 0)).astype(np.float32)
+    return (inter / (a1 + a2 - inter + 1e-6)).astype(np.float32)
+
+
+def box_iou_accuracy(hyps: np.ndarray, refs: np.ndarray, thresh: float = 0.5) -> np.ndarray:
+    """Acc@thresh per box pair (ref: _calculate_ap_score)."""
+    return (box_iou(hyps, refs) >= thresh).astype(np.float32)
 
 
 def pairwise_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:

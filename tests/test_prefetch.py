@@ -114,3 +114,28 @@ def test_train_loop_prefetch_equivalence():
     assert int(a.step) == int(b.step) == 4
     for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_overlap_stats():
+    """Producer/consumer stat counters (VERDICT r4 #2: the wall-clock bench
+    decomposition): producer cpu/wall accumulate per item, consumer stalls
+    register when the queue runs dry, reset_stats zeroes the window."""
+
+    def slow_gen():
+        for i in range(6):
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < 0.02:  # busy build ~20ms
+                pass
+            yield i
+
+    it = PrefetchIterator(slow_gen(), depth=1)
+    out = list(it)
+    assert out == list(range(6))
+    assert it.producer_items == 6
+    assert it.producer_wall_s >= 6 * 0.015
+    assert it.producer_cpu_s > 0
+    # consumer drained faster than the producer built → stalls recorded
+    assert it.stall_count >= 1
+    assert it.consumed == 7  # 6 items + sentinel
+    it.reset_stats()
+    assert it.producer_items == 0 and it.stall_s == 0.0 and it.consumed == 0
