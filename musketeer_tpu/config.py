@@ -103,6 +103,14 @@ class ModelConfig:
     # per-step work too small for 12 in-loop kernel launches), so the
     # default stays the XLA einsum path; flag kept for future sweeps
     decode_int8_kv_kernel: bool = False
+    # Fused single-launch decoder-stack kernel for incremental decode steps
+    # (ops/decode_stack.py): all L layers — self-attn over the growing
+    # cache, beam-shared cross-attn over streamed resident K/V, FFN — run
+    # as ONE pallas_call per step (per-layer kernels lose to the ~0.1 ms
+    # pallas_call fixed cost; this amortizes it L×). Preconditions gate at
+    # decode time: no decoder prompts, no int8 cross-KV, no normformer
+    # extras; falls back to the XLA scan otherwise.
+    decode_stack_kernel: bool = False
     # GPipe pipeline parallelism over the mesh 'pipe' axis: encoder/decoder
     # layer stacks run as P stages with this many microbatches (0 = off;
     # requires use_flash_attention, a 'pipe' mesh axis, and B % M == 0)

@@ -1888,6 +1888,10 @@ class DecoderState(NamedTuple):
     cross_bias_full: jnp.ndarray  # [B, H, Tmax, S]
     rel_full: jnp.ndarray  # [L, B or 1, H, Tmax, Tmax] self rel bias
     tgt_pos_embed: jnp.ndarray  # [B, Tmax, d]
+    # fused decoder-stack kernel weight pack (ops/decode_stack.py), built
+    # once per decode session when cfg.decode_stack_kernel applies; rides
+    # the decode loop's carry so it is never re-materialized per step
+    kernel_pack: Optional[Dict[str, jnp.ndarray]] = None
 
 
 def init_decoder_state(
@@ -1967,13 +1971,41 @@ def init_decoder_state(
         "cross_k": cross_k,
         "cross_v": cross_v,
     }
+    enc_pad = encoder_out.padding_mask  # [B, S] untiled
+
+    kernel_pack = None
+    if (
+        cfg.decode_stack_kernel
+        and not cfg.decoder_prompt
+        and not (cfg.scale_attn or cfg.scale_fc or cfg.scale_heads or cfg.scale_resids)
+    ):
+        from ..ops.decode_stack import pack_decoder_weights
+
+        kernel_pack = pack_decoder_weights(dec["layers"], dtype)
+        # the kernel streams cross-K/V per sample chunk — pad S to the
+        # sublane multiple once here (zero K/V + pad-masked columns are
+        # exact zeros through both the kernel and the XLA softmax)
+        if S % 8:
+            padn = 8 - S % 8
+            cache["cross_k"] = jnp.pad(
+                cache["cross_k"], ((0, 0),) * 3 + ((0, padn), (0, 0))
+            )
+            cache["cross_v"] = jnp.pad(
+                cache["cross_v"], ((0, 0),) * 3 + ((0, padn), (0, 0))
+            )
+            cross_bias = jnp.pad(
+                cross_bias, ((0, 0),) * 3 + ((0, padn),)
+            )
+            enc_pad = jnp.pad(enc_pad, ((0, 0), (0, padn)), constant_values=True)
+
     return DecoderState(
         cache=cache,
-        enc_pad=encoder_out.padding_mask,  # [B, S] untiled
+        enc_pad=enc_pad,
         self_bias_full=self_bias,
         cross_bias_full=cross_bias,  # [B, H, T, S] untiled
         rel_full=rel,
         tgt_pos_embed=tgt_pos_embed,
+        kernel_pack=kernel_pack,
     )
 
 
@@ -2011,6 +2043,57 @@ def decode_step(
     cache_index = step + prompt_len if prompt_len else step
 
     int8_kv = "cross_k_scale" in state.cache  # see quantize_cross_kv
+
+    Bs = state.cache["cross_k"].shape[1]
+    use_stack = (
+        state.kernel_pack is not None
+        and not int8_kv
+        and prompt_len == 0
+        and state.cache["cross_k"].shape[3] % 8 == 0
+        and B % Bs == 0
+    )
+    if use_stack:
+        # single-launch fused decoder stack (ops/decode_stack.py) — one
+        # pallas_call runs all L layers; the new K/V column lands in the
+        # stacked cache via one dynamic_update_slice out here
+        from ..ops.decode_stack import NEG_INF as _NI
+        from ..ops.decode_stack import decode_stack_step
+
+        L = cfg.decoder_layers
+        H, hd = cfg.attention_heads, cfg.head_dim
+        scaling = float(cfg.head_dim * cfg.attn_scale_factor) ** -0.5
+        sbias = (
+            self_bias_t[None, :, :, 0, :].astype(jnp.float32)
+            + rel_t[:, :, :, 0, :].astype(jnp.float32)
+        )
+        sbias = jnp.broadcast_to(sbias, (L, B) + sbias.shape[2:])
+        cbias = jnp.where(
+            state.enc_pad[:, None, :],
+            _NI,
+            cross_bias_t[:, :, 0, :].astype(jnp.float32),
+        )
+        x1, k_new, v_new = decode_stack_step(
+            state.kernel_pack, x[:, 0], sbias, cbias,
+            state.cache["self_k"], state.cache["self_v"],
+            state.cache["cross_k"], state.cache["cross_v"],
+            cache_index, beam_size=B // Bs, scaling=scaling,
+        )
+        ck = state.cache["self_k"]
+        kn = k_new.reshape(L, B, H, 1, hd).astype(ck.dtype)
+        vn = v_new.reshape(L, B, H, 1, hd).astype(ck.dtype)
+        new_self_k = jax.lax.dynamic_update_slice(
+            ck, kn, (0, 0, 0, cache_index, 0)
+        )
+        new_self_v = jax.lax.dynamic_update_slice(
+            state.cache["self_v"], vn, (0, 0, 0, cache_index, 0)
+        )
+        x = _layer_norm(dec["layer_norm"], x1[:, None, :])
+        new_cache = {
+            **state.cache, "self_k": new_self_k, "self_v": new_self_v,
+        }
+        if features_only:
+            return x[:, 0], state._replace(cache=new_cache)
+        return output_layer(params, cfg, x)[:, 0], state._replace(cache=new_cache)
 
     def layer_body(x, layer_in):
         if int8_kv:
