@@ -1997,6 +1997,14 @@ def init_decoder_state(
                 cross_bias, ((0, 0),) * 3 + ((0, padn),)
             )
             enc_pad = jnp.pad(enc_pad, ((0, 0), (0, padn)), constant_values=True)
+        # the kernel streams the cross K/V in a transposed [L*B, H, hd, S]
+        # layout (S-minor; see ops/decode_stack.py) — build it once here
+        # so it rides the decode loop's carried cache
+        from ..ops.decode_stack import transpose_cross_kv
+
+        cache["cross_kt"], cache["cross_vt"] = transpose_cross_kv(
+            cache["cross_k"], cache["cross_v"]
+        )
 
     return DecoderState(
         cache=cache,
@@ -2047,10 +2055,17 @@ def decode_step(
     Bs = state.cache["cross_k"].shape[1]
     use_stack = (
         state.kernel_pack is not None
+        and "cross_kt" in state.cache
         and not int8_kv
         and prompt_len == 0
         and state.cache["cross_k"].shape[3] % 8 == 0
+        # the transposed DMA stream needs a >=128-lane minor dim on TPU
+        and (
+            state.cache["cross_k"].shape[3] >= 128
+            or jax.default_backend() == "cpu"
+        )
         and B % Bs == 0
+        and Bs % 2 == 0  # DMA slot rotation needs an even sample count
     )
     if use_stack:
         # single-launch fused decoder stack (ops/decode_stack.py) — one
@@ -2075,7 +2090,7 @@ def decode_step(
         x1, k_new, v_new = decode_stack_step(
             state.kernel_pack, x[:, 0], sbias, cbias,
             state.cache["self_k"], state.cache["self_v"],
-            state.cache["cross_k"], state.cache["cross_v"],
+            state.cache["cross_kt"], state.cache["cross_vt"],
             cache_index, beam_size=B // Bs, scaling=scaling,
         )
         ck = state.cache["self_k"]
