@@ -522,14 +522,19 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    # layer remat: the 9-task step (R-Drop-doubled, 6 vision encoders +
-    # a 1025-token code decode) exceeds one chip's 16G without activation
-    # checkpointing — the measured number is the honest production config.
+    # layer remat: OFF. probe_joint_noremat (r5, on-chip) measured the whole
+    # PACKED 9-task step at 409.9 ms / mfu 0.219 remat-free vs 462.0 / 0.195
+    # remat'd (identical loss) — packing shrinks peak HBM enough that the
+    # step fits one chip without activation checkpointing (the r3 OOM was
+    # the UNPACKED unrolled 9-forward graph). Falls back to remat=True if a
+    # scheduler change ever pushes peak HBM over; joint_train_remat records
+    # which config produced the number.
     # unroll_layers: python-loop the layer stacks so backward residuals are
     # plain buffers, not dynamic-update-slice stacks (measured -10% on the
     # single-task fwd+bwd, probe_unroll r3; O(L) compile is one-time via
     # the persistent cache)
-    cfg_joint = replace(cfg, remat=True, unroll_layers=True)
+    cfg_joint = replace(cfg, remat=False, unroll_layers=True)
+    cfg_joint_remat = replace(cfg_joint, remat=True)
     crit = CriterionConfig(
         label_smoothing=0.1, use_rdrop=True,
         drop_worst_ratio=0.2, drop_worst_after=6000,
@@ -540,8 +545,16 @@ def main():
         batches, fwd_flops = make_joint_batches(cfg_joint, B=Bj)
         state = init_train_state(params, optim)
         state = state._replace(step=jnp.int32(7000))  # drop-worst active
-        step_fn = make_train_step(cfg_joint, crit, optim, donate=False)
-        joint_s = timed_step(step_fn, state, batches)
+        try:
+            step_fn = make_train_step(cfg_joint, crit, optim, donate=False)
+            joint_s = timed_step(step_fn, state, batches)
+            res["joint_train_remat"] = False
+            joint_state["cfg"] = cfg_joint
+        except Exception:  # peak-HBM OOM → honest remat fallback
+            step_fn = make_train_step(cfg_joint_remat, crit, optim, donate=False)
+            joint_s = timed_step(step_fn, state, batches)
+            res["joint_train_remat"] = True
+            joint_state["cfg"] = cfg_joint_remat
         res["joint_train_step_ms"] = round(joint_s * 1000.0, 1)
         res["joint_train_samples_per_sec"] = round(9 * Bj / joint_s, 1)
         # analytic convention: fwd(with R-Drop doubling) × 3, no remat
@@ -563,10 +576,15 @@ def main():
     # prefetcher, timed end to end — the device-only joint number assumes
     # batches are free; this one includes PIL decode + 480² resize +
     # augmentation for 5 vision tasks on the host.
+    # pinned remat=True: this stage measures host-build overlap, not peak
+    # device throughput, and the remat-free 7-task program OOM'd mid-bench
+    # (r5 run: RESOURCE_EXHAUSTED with the joint state + warm batches
+    # resident, poisoning every later stage) — the remat'd program is
+    # cached and fit-proven across the full multi-stage run
     run_stage(
         "joint_wallclock",
         lambda: res.update(
-            bench_joint_wallclock(params, cfg_joint, crit, optim, B=Bj)
+            bench_joint_wallclock(params, cfg_joint_remat, crit, optim, B=Bj)
         ),
     )
 
@@ -797,14 +815,20 @@ def main():
         # probe_joint.py) — scan serializes it, matching how this ablation
         # was originally measured.
         step_unpacked = make_train_step(
-            replace(cfg_joint, unroll_layers=False), crit, optim,
+            replace(cfg_joint_remat, unroll_layers=False), crit, optim,
             donate=False, pack_text=False, pack_vision=False,
         )
         ju_s = timed_step(step_unpacked, joint_state["state"], joint_state["batches"])
         res["joint_unpacked_step_ms"] = round(ju_s * 1000.0, 1)
-        res["joint_pack_speedup"] = round(
-            ju_s / (res["joint_train_step_ms"] / 1000.0), 2
-        )
+        # remat-matched denominator: the unpacked variant runs remat'd, so
+        # compare against a remat'd packed step, not the remat-free headline
+        if res.get("joint_train_remat") is False:
+            fn_pk = make_train_step(cfg_joint_remat, crit, optim, donate=False)
+            pk_s = timed_step(fn_pk, joint_state["state"], joint_state["batches"])
+            res["joint_train_step_ms_remat"] = round(pk_s * 1000.0, 1)
+        else:
+            pk_s = res["joint_train_step_ms"] / 1000.0
+        res["joint_pack_speedup"] = round(ju_s / pk_s, 2)
 
     run_stage("joint_unpacked_ablation", stage_joint_unpacked)
 
@@ -838,8 +862,10 @@ def main():
             for name in ("cola", "sst2", "mrpc", "qqp", "qnli", "rte", "mnli")
         }
         state = joint_state.get("state") or init_train_state(params, optim)
-        fn_pack = make_train_step(cfg_joint, crit, optim, donate=False, pack_text=True)
-        fn_seq = make_train_step(cfg_joint, crit, optim, donate=False, pack_text=False)
+        # pinned remat=True: self-contained pack-vs-seq comparison, and the
+        # remat'd text-only programs are already in the persistent cache
+        fn_pack = make_train_step(cfg_joint_remat, crit, optim, donate=False, pack_text=True)
+        fn_seq = make_train_step(cfg_joint_remat, crit, optim, donate=False, pack_text=False)
         pack_s = timed_step(fn_pack, state, glue)
         seq_s = timed_step(fn_seq, state, glue)
         res["glue7_packed_step_ms"] = round(pack_s * 1000.0, 1)
