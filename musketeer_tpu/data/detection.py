@@ -58,7 +58,7 @@ class DetectionBuilder(BuilderBase):
 
         patch, boxes_norm, w_r, h_r = positioning_resize(
             image, boxes, self.patch_image_size, self.max_image_size,
-            self.imagenet_stats,
+            self.imagenet_stats, as_uint8=self.transport_uint8,
         )
         tgt_ids = []
         for i, b in enumerate(boxes_norm):

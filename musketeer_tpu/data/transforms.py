@@ -71,6 +71,7 @@ def positioning_resize(
     patch_size: int,
     max_image_size: int = 512,
     imagenet_stats: bool = False,
+    as_uint8: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, float, float]:
     """Grounding-task resize.
 
@@ -82,7 +83,11 @@ def positioning_resize(
     image = image.convert("RGB")
     w, h = image.size
     img = image.resize((patch_size, patch_size), Image.BICUBIC)
-    arr = normalize(np.asarray(img, np.float32) / 255.0, imagenet_stats)
+    arr = (
+        np.asarray(img, np.uint8)
+        if as_uint8
+        else normalize(np.asarray(img, np.float32) / 255.0, imagenet_stats)
+    )
     w_ratio = patch_size / w
     h_ratio = patch_size / h
     scaled = boxes.astype(np.float32) * np.asarray(

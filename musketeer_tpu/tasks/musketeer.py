@@ -81,7 +81,17 @@ class MusketeerDataLoader:
                 vocab, description=description, **spec.task_kwargs
             )
             self.tasks[spec.name] = task
-            self.builders[spec.name] = task.builder("train")
+            builder = task.builder("train")
+            # uint8-direct transport: builders whose post-resize chain is
+            # exactly `normalize` emit raw uint8 pixels, skipping the host
+            # f32 normalize → re-quantize roundtrip _compress_batch would
+            # otherwise pay (~85 ms/batch of 1-core producer CPU,
+            # probe_producer). Builders with float-domain augmentation
+            # (e.g. image_classify erasing) ignore the flag and keep the
+            # exact requantize path.
+            if compress_transport and getattr(builder, "uint8_safe", True):
+                builder.transport_uint8 = True
+            self.builders[spec.name] = builder
             # round-robin epoch paths (ref: musketeer_task.py:358-460)
             self.epoch_paths[spec.name] = spec.file_path.split(",")
             self.datasets[spec.name] = FileDataset(
@@ -179,14 +189,16 @@ def _compress_batch(b: Dict, builder) -> Dict:
     dequant affine (exact: the pixels started as uint8, values sit on the
     1/255 grid); bool constraint masks → little-endian packed bits."""
     imgs = b.get("patch_images")
-    if (
-        imgs is not None and imgs.dtype == np.float32
-        and getattr(builder, "uint8_safe", True)
-    ):
+    if imgs is not None and getattr(builder, "uint8_safe", True):
         norm = norm_constants(getattr(builder, "imagenet_stats", False))
-        p = np.clip(np.rint((imgs - norm[1]) / norm[0]), 0, 255)
-        b["patch_images"] = p.astype(np.uint8)
-        b["patch_norm"] = norm
+        if imgs.dtype == np.uint8:
+            # builder emitted raw pixels directly (transport_uint8) —
+            # just attach the dequant affine
+            b["patch_norm"] = norm
+        elif imgs.dtype == np.float32:
+            p = np.clip(np.rint((imgs - norm[1]) / norm[0]), 0, 255)
+            b["patch_images"] = p.astype(np.uint8)
+            b["patch_norm"] = norm
     cm = b.get("constraint_masks")
     if cm is not None and cm.dtype == np.bool_ and cm.shape[-1] % 8 == 0:
         b["constraint_masks"] = np.packbits(cm, axis=-1, bitorder="little")

@@ -140,6 +140,40 @@ def test_loader_compress_roundtrip(tmp_path):
     )
 
 
+def test_uint8_direct_bitexact_vs_requantize():
+    """transport_uint8 builders emit raw resize pixels directly; the
+    transport must be BIT-identical to the old f32-normalize →
+    _compress_batch rint/clip requantize roundtrip (the requantize is
+    exact: pixels start on the uint8 grid), for both plain and imagenet
+    normalization stats."""
+    from musketeer_tpu.data.task_data import CaptionBuilder, collate
+    from musketeer_tpu.tasks.musketeer import _compress_batch
+    from musketeer_tpu.tokenization import default_vocab
+    from tests.test_data import fake_image_b64
+
+    vocab = default_vocab()
+    for imagenet_stats in (False, True):
+        rows = [[str(i), fake_image_b64(48, 40), f"a toy {i}"] for i in range(2)]
+
+        def build(direct):
+            b = CaptionBuilder(
+                vocab, split="train", patch_image_size=32,
+                imagenet_stats=imagenet_stats,
+            )
+            b.transport_uint8 = direct
+            batch = collate([b(r) for r in rows], src_len=16, tgt_len=16)
+            return _compress_batch(batch, b)
+
+        direct, requant = build(True), build(False)
+        assert direct["patch_images"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            direct["patch_images"], requant["patch_images"]
+        )
+        np.testing.assert_array_equal(
+            direct["patch_norm"], requant["patch_norm"]
+        )
+
+
 def test_loader_compress_float_domain_aug(tmp_path):
     """image_classify's TRAIN pipeline ends in float-domain random erasing
     (gaussian noise in normalized space, OFF the uint8 pixel gamut — the
